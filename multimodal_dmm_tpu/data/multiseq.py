@@ -1,0 +1,452 @@
+"""Multimodal sequence data engine (host side, numpy).
+
+Re-implements the full `MultiseqDataset` capability surface of
+/root/reference/datasets/multiseq.py: regex-matched per-modality file
+loading, multi-rate resampling to a base rate, NaN-as-missing encoding,
+dataset algebra (normalize / split / corrupt / select / merge), collation
+of unequal-length sequences into NaN-padded time-first batches with length
+masks and order bookkeeping, and the deletion operators used for train-time
+augmentation and eval-task construction.
+
+Everything here is host-side numpy feeding device buffers; the device-side
+representation derives observation masks from NaN at the model edge.
+Corruption/deletion ops use ``numpy.random`` (seeded by the trainer) to
+mirror the reference's RNG source (multiseq.py:242-273,405-448).
+"""
+
+import copy
+import itertools
+import os
+import re
+
+import numpy as np
+
+
+class MultiseqDataset:
+    """Dataset for synchronous multimodal time series.
+
+    Mirrors /root/reference/datasets/multiseq.py:13-319.
+    """
+
+    def __init__(self, modalities, dirs, regex, preprocess, rates,
+                 base_rate=None, truncate=False,
+                 ids_as_mods=(), item_as_dict=False):
+        self.modalities = list(modalities)
+        if not isinstance(rates, list):
+            self.rates = [rates] * len(self.modalities)
+        else:
+            self.rates = list(rates)
+        self.base_rate = base_rate if base_rate is not None \
+            else min(self.rates)
+        self.item_as_dict = item_as_dict
+
+        if not isinstance(dirs, list):
+            dirs = [dirs] * len(self.modalities)
+        dirs = {m: d for m, d in zip(self.modalities, dirs)}
+        if not isinstance(regex, list):
+            regex = [regex] * len(self.modalities)
+        regex = {m: r for m, r in zip(self.modalities, regex)}
+        if preprocess is None:
+            preprocess = lambda x: x  # noqa: E731
+        if not isinstance(preprocess, list):
+            preprocess = [preprocess] * len(self.modalities)
+        preprocess = {m: p for m, p in zip(self.modalities, preprocess)}
+
+        # Load filenames, extract regex-captured sequence IDs
+        # (multiseq.py:53-76).
+        paths, seq_ids = {}, {}
+        for m in self.modalities:
+            paths[m], seq_ids[m] = [], []
+            for fn in os.listdir(dirs[m]):
+                match = re.match(regex[m], fn)
+                if not match:
+                    continue
+                paths[m].append(os.path.join(dirs[m], fn))
+                seq_ids[m].append(match.groups())
+            paths[m] = [p for _, p in sorted(zip(seq_ids[m], paths[m]))]
+            seq_ids[m].sort()
+
+        self.seq_ids = seq_ids[self.modalities[0]]
+        for m in self.modalities:
+            if len(paths[m]) != len(self.seq_ids):
+                raise Exception(
+                    "Number of files ({}) do not match.".format(
+                        len(paths[m])))
+            if seq_ids[m] != self.seq_ids:
+                raise Exception("Sequence IDs do not match.")
+        self.seq_id_sets = [sorted(set(s)) for s in zip(*self.seq_ids)]
+
+        self.ratios = {m: r / self.base_rate
+                       for m, r in zip(self.modalities, self.rates)}
+
+        # Load and resample (multiseq.py:85-131).
+        self.data = {m: [] for m in self.modalities}
+        self.orig = {m: [] for m in self.modalities}
+        self.lengths = []
+        for i in range(len(self.seq_ids)):
+            seq_len = float("inf")
+            for m in self.modalities:
+                fp = paths[m][i]
+                if re.match(r"^.*\.npy", fp):
+                    d = np.load(fp)
+                elif re.match(r"^.*\.(csv|txt)", fp):
+                    import pandas as pd
+                    d = np.array(preprocess[m](pd.read_csv(fp)))
+                elif re.match(r"^.*\.tsv", fp):
+                    import pandas as pd
+                    d = np.array(preprocess[m](pd.read_csv(fp, sep="\t")))
+                else:
+                    raise Exception("Unsupported file type: " + fp)
+                d = d.astype(float)
+                self.orig[m].append(d)
+                d = resample_to_base(d, self.ratios[m])
+                self.data[m].append(d)
+                seq_len = min(seq_len, len(d))
+            if truncate:
+                for m in self.modalities:
+                    self.data[m][-1] = self.data[m][-1][:seq_len]
+            self.lengths.append(seq_len)
+
+        # Sequence-ID fields exposed as label modalities
+        # (multiseq.py:133-152).
+        self.ids_as_mods = list(ids_as_mods)
+        for m in self.ids_as_mods:
+            if m is None:
+                continue
+            self.modalities.append(m)
+            self.rates.append(self.base_rate)
+            self.ratios[m] = 1.0
+            self.data[m] = []
+            self.orig[m] = []
+        for seq_id, seq_len in zip(self.seq_ids, self.lengths):
+            for k, m in enumerate(self.ids_as_mods):
+                if m is None:
+                    continue
+                d = self.seq_id_sets[k].index(seq_id[k])
+                d = np.array([[d]] * seq_len)
+                self.orig[m].append(d)
+                self.data[m].append(d.astype(float))
+
+    def __len__(self):
+        return len(self.seq_ids)
+
+    def __getitem__(self, i):
+        if self.item_as_dict:
+            d = {m: self.data[m][i] for m in self.modalities}
+            d["length"] = self.lengths[i]
+            d["id"] = self.seq_ids[i]
+            return d
+        return tuple(self.data[m][i] for m in self.modalities)
+
+    # -- statistics ---------------------------------------------------------
+
+    def mean_and_std(self, modalities=None):
+        if modalities is None:
+            modalities = self.modalities
+        m_mean = {m: np.nanmean(np.concatenate(self.data[m], 0), axis=0)
+                  for m in modalities}
+        m_std = {m: np.nanstd(np.concatenate(self.data[m], 0), axis=0)
+                 for m in modalities}
+        return m_mean, m_std
+
+    def max_and_min(self, modalities=None):
+        if modalities is None:
+            modalities = self.modalities
+        m_max = {m: np.nanmax(np.stack([a.max(0) for a in self.data[m]]), 0)
+                 for m in modalities}
+        m_min = {m: np.nanmin(np.stack([a.min(0) for a in self.data[m]]), 0)
+                 for m in modalities}
+        return m_max, m_min
+
+    # -- dataset algebra ----------------------------------------------------
+
+    def normalize_(self, modalities=None, method="meanvar", ref_data=None):
+        """Normalize in place by mean/var or to [-1, 1]
+        (multiseq.py:186-209)."""
+        if modalities is None:
+            modalities = self.modalities
+        if ref_data is None:
+            ref_data = self
+        if method == "range":
+            m_max, m_min = ref_data.max_and_min(modalities)
+            m_rng = {m: (m_max[m] - m_min[m]) for m in modalities}
+            m_rng = {m: m_rng[m] * (m_rng[m] > 0) + 1e-10 * (m_rng[m] <= 0)
+                     for m in modalities}
+            for m in modalities:
+                self.data[m] = [(a - m_min[m]) / m_rng[m] * 2 - 1
+                                for a in self.data[m]]
+        else:
+            m_mean, m_std = ref_data.mean_and_std(modalities)
+            for m in modalities:
+                self.data[m] = [(a - m_mean[m]) / (m_std[m] + 1e-10)
+                                for a in self.data[m]]
+
+    def normalize(self, modalities=None, method="meanvar", ref_data=None):
+        dataset = copy.deepcopy(self)
+        dataset.normalize_(modalities, method, ref_data)
+        return dataset
+
+    def split_(self, n, n_is_len=True):
+        """Split each sequence into chunks in place (multiseq.py:217-234)."""
+        if n_is_len:
+            split = [list(range(n, l, n)) for l in self.lengths]
+        else:
+            split = [n for _ in self.lengths]
+        for m in self.modalities:
+            self.data[m] = list(itertools.chain.from_iterable(
+                [np.array_split(a, s, 0)
+                 for a, s in zip(self.data[m], split)]))
+        if n_is_len:
+            self.seq_ids = list(itertools.chain.from_iterable(
+                [[i] * (len(s) + 1) for i, s in zip(self.seq_ids, split)]))
+        else:
+            self.seq_ids = list(itertools.chain.from_iterable(
+                [[i] * n for i in self.seq_ids]))
+        self.lengths = [len(d) for d in self.data[self.modalities[0]]]
+
+    def split(self, n, n_is_len=True):
+        dataset = copy.deepcopy(self)
+        dataset.split_(n, n_is_len)
+        return dataset
+
+    def corrupt_(self, del_frac, mode="uniform", modalities=None):
+        """Randomly delete data in place (multiseq.py:242-267)."""
+        if modalities is None:
+            modalities = self.modalities
+
+        if mode == "uniform":
+            def del_func(length):
+                return np.random.choice(length, int(del_frac * length),
+                                        False)
+        elif mode == "burst":
+            def del_func(length):
+                t_start = np.random.randint(length)
+                t_stop = min(t_start + int(del_frac * length), length)
+                return list(range(t_start, t_stop))
+        elif mode == "all_none":
+            def del_func(length):
+                return ([] if (np.random.random() > del_frac)
+                        else list(range(length)))
+        else:
+            raise ValueError("unknown corrupt mode: " + mode)
+        for m in modalities:
+            for i in range(len(self.data[m])):
+                del_idx = del_func(len(self.data[m][i]))
+                self.data[m][i] = np.array(self.data[m][i], copy=True)
+                self.data[m][i][del_idx] = float("nan")
+
+    def corrupt(self, del_frac, mode="uniform", modalities=None):
+        dataset = copy.deepcopy(self)
+        dataset.corrupt_(del_frac, mode, modalities)
+        return dataset
+
+    def select(self, seq_ids, invert=False):
+        """Select sequences by identifiers (multiseq.py:275-300)."""
+        sel = copy.deepcopy(self)
+        seq_ids = list(seq_ids)
+        idx = list(range(len(self)))
+        for k in range(len(seq_ids)):
+            if seq_ids[k] is None:
+                seq_ids[k] = self.seq_id_sets[k]
+            idx = [i for i, seq_id in enumerate(self.seq_ids)
+                   if seq_id[k] in seq_ids[k] and i in idx]
+        if invert:
+            idx = [i for i in range(len(self)) if i not in idx]
+        sel.seq_ids = [sel.seq_ids[i] for i in idx]
+        sel.seq_id_sets = [sorted(set(s)) for s in zip(*sel.seq_ids)]
+        sel.lengths = [sel.lengths[i] for i in idx]
+        for m in self.modalities:
+            sel.data[m] = [sel.data[m][i] for i in idx]
+            sel.orig[m] = [sel.orig[m][i] for i in idx
+                           if i < len(sel.orig[m])]
+        return sel
+
+    @classmethod
+    def merge(cls, set1, set2):
+        """Merge two datasets (multiseq.py:302-319)."""
+        if set1.modalities != set2.modalities:
+            raise Exception("Modalities need to match.")
+        if set1.base_rate != set2.base_rate:
+            raise Exception("Base rates need to match.")
+        merged = copy.deepcopy(set1)
+        merged.orig.clear()
+        merged.seq_ids = merged.seq_ids + set2.seq_ids
+        merged.seq_id_sets = [
+            sorted(set(set1.seq_id_sets[k]) | set(set2.seq_id_sets[k]))
+            for k in range(len(set1.seq_id_sets))]
+        merged.lengths = merged.lengths + set2.lengths
+        merged.rates = [merged.base_rate] * len(merged.modalities)
+        merged.ratios = {m: 1.0 for m in merged.modalities}
+        for m in merged.modalities:
+            merged.data[m] = merged.data[m] + copy.deepcopy(set2.data[m])
+        return merged
+
+
+def resample_to_base(d, ratio):
+    """Resample sequence to the base rate: time-average to downsample,
+    repeat to upsample (multiseq.py:109-123)."""
+    if ratio > 1:
+        ratio = int(ratio)
+        end = ratio * (len(d) // ratio)
+        avg = np.mean(d[:end].reshape(-1, ratio, *d.shape[1:]), 1)
+        if end < len(d):
+            remain = d[end:].mean(axis=0)[np.newaxis]
+            d = np.concatenate([avg, remain])
+        else:
+            d = avg
+    else:
+        ratio = int(1.0 / ratio)
+        d = np.repeat(d, ratio, axis=0)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Masks, collation, decollation (multiseq.py:321-403)
+# ---------------------------------------------------------------------------
+
+def len_to_mask(lengths, time_first=True, max_len=None):
+    """Sequence lengths → (T, B, 1) bool mask (multiseq.py:321-327)."""
+    if max_len is None:
+        max_len = max(lengths)
+    mask = np.arange(max_len)[None, :] < np.asarray(lengths)[:, None]
+    if time_first:
+        mask = mask.T
+    return mask[..., None]
+
+
+def mask_to_extent(mask, time_first=True):
+    """First/last observed time index per sequence (multiseq.py:329-339)."""
+    mask = np.asarray(mask)
+    if not time_first:
+        mask = np.swapaxes(mask, 0, 1)
+    t_max, b_dim = mask.shape[:2]
+    idx = np.arange(t_max)[:, None] * np.ones((1, b_dim), dtype=int)
+    idx = mask.reshape(t_max, b_dim).astype(int) * idx
+    t_stop = idx.max(axis=0)
+    idx[idx == 0] = t_max
+    t_start = idx.min(axis=0)
+    return t_start, t_stop
+
+
+def pad_and_merge(sequences, max_len=None):
+    """NaN-pad unequal-length sequences into a (T, B, ...) float32 batch
+    (multiseq.py:341-353)."""
+    dims = sequences[0].shape[1:]
+    lengths = [len(seq) for seq in sequences]
+    if max_len is None:
+        max_len = max(lengths)
+    padded = np.full((max_len, len(sequences)) + tuple(dims), np.nan,
+                     dtype=np.float32)
+    for i, seq in enumerate(sequences):
+        padded[:lengths[i], i] = seq[:lengths[i]]
+    return padded
+
+
+def seq_collate(data, time_first=True, max_len=None):
+    """Collate tuple-form items, sorted by descending length
+    (multiseq.py:355-370)."""
+    padded = []
+    n_modalities = len(data[0])
+    lengths = np.zeros(n_modalities, dtype=int)
+    data = sorted(data, key=lambda x: len(x[0]), reverse=True)
+    cols = list(zip(*data))
+    for modality in cols:
+        m_lengths = [len(seq) for seq in modality]
+        lengths = np.maximum(lengths, m_lengths)
+    lengths = list(lengths)
+    for modality in cols:
+        m_padded = pad_and_merge(modality, max_len or max(lengths))
+        padded.append(m_padded if time_first
+                      else np.swapaxes(m_padded, 0, 1))
+    mask = len_to_mask(lengths, time_first, max_len)
+    return tuple(padded + [mask, lengths])
+
+
+def seq_collate_dict(data, time_first=True, max_len=None):
+    """Collate dict-form items → (batch_dict, mask, lengths, order, ids)
+    (multiseq.py:372-386)."""
+    batch = {}
+    modalities = [k for k in data[0] if k not in ("length", "id")]
+    order = sorted(range(len(data)), key=lambda i: data[i]["length"],
+                   reverse=True)
+    data = [data[i] for i in order]
+    lengths = [d["length"] for d in data]
+    seq_ids = [d["id"] for d in data]
+    for m in modalities:
+        m_padded = pad_and_merge([d[m] for d in data],
+                                 max_len or max(lengths))
+        batch[m] = m_padded if time_first else np.swapaxes(m_padded, 0, 1)
+    mask = len_to_mask(lengths, time_first, max_len)
+    return batch, mask, lengths, order, seq_ids
+
+
+def seq_decoll(batch, lengths, order, time_first=True):
+    """De-pad and restore input order (multiseq.py:388-398)."""
+    batch = np.asarray(batch) if not isinstance(batch, tuple) else batch
+    if isinstance(batch, tuple):
+        return [np.stack([np.asarray(b)[:lengths[idx], idx] for b in batch],
+                         axis=1) for idx in order]
+    if time_first:
+        return [batch[:lengths[idx], idx] for idx in order]
+    return [batch[idx, :lengths[idx]] for idx in order]
+
+
+def seq_decoll_dict(batch_dict, lengths, order, time_first=True):
+    return {k: seq_decoll(np.asarray(b) if not isinstance(b, tuple)
+                          else tuple(np.asarray(x) for x in b),
+                          lengths, order, time_first)
+            for k, b in batch_dict.items()}
+
+
+# ---------------------------------------------------------------------------
+# Batch-level deletion operators (multiseq.py:405-448)
+# ---------------------------------------------------------------------------
+
+def func_delete(batch_in, del_func, lengths=None, modalities=None):
+    """Apply del_func per sequence to compute deleted time indices."""
+    if modalities is None:
+        modalities = list(batch_in.keys())
+    batch_out = {}
+    for m in batch_in.keys():
+        batch_out[m] = np.array(batch_in[m], copy=True)
+        if m not in modalities:
+            continue
+        t_max, b_dim = batch_in[m].shape[:2]
+        if lengths is None:
+            lengths = [t_max] * b_dim
+        for b in range(b_dim):
+            del_idx = del_func(lengths[b])
+            batch_out[m][del_idx, b] = float("nan")
+    return batch_out
+
+
+def rand_delete(batch_in, del_frac, lengths=None, modalities=None):
+    """Random memoryless deletions."""
+    def del_func(length):
+        return np.random.choice(length, int(del_frac * length), False)
+    return func_delete(batch_in, del_func, lengths, modalities)
+
+
+def burst_delete(batch_in, burst_frac, lengths=None, modalities=None):
+    """Random burst deletions."""
+    def del_func(length):
+        t_start = np.random.randint(length)
+        t_stop = min(t_start + int(burst_frac * length), length)
+        return list(range(t_start, t_stop))
+    return func_delete(batch_in, del_func, lengths, modalities)
+
+
+def keep_segment(batch_in, f_start, f_stop, lengths=None, modalities=None):
+    """Delete everything outside [f_start, f_stop) time fraction."""
+    def del_func(length):
+        t_start, t_stop = int(f_start * length), int(f_stop * length)
+        return list(range(0, t_start)) + list(range(t_stop, length))
+    return func_delete(batch_in, del_func, lengths, modalities)
+
+
+def del_segment(batch_in, f_start, f_stop, lengths=None, modalities=None):
+    """Delete the [f_start, f_stop) time fraction."""
+    def del_func(length):
+        t_start, t_stop = int(f_start * length), int(f_stop * length)
+        return list(range(t_start, t_stop))
+    return func_delete(batch_in, del_func, lengths, modalities)

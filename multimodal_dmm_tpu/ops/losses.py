@@ -1,0 +1,87 @@
+"""Masked, summed (not averaged) losses.
+
+Mirrors /root/reference/models/losses.py exactly:
+
+- every NLL combines the sequence-length mask with a per-element NaN mask so
+  missing targets never contribute (losses.py:34-38,57-60,78-82);
+- losses are **sums** over unmasked elements — normalization by the number
+  of observed timesteps happens in the trainer
+  (/root/reference/trainer.py:241-242);
+- ``nll_bernoulli`` reproduces torch's BCE log-clamp at -100
+  (torch.nn.functional.binary_cross_entropy semantics, losses.py:41);
+- ``nll_categorical`` reproduces the reference quirk of applying
+  ``F.nll_loss`` to *probabilities* (the CategoricalMLP head ends in a
+  Softmax, /root/reference/models/common.py:16-18, and losses.py:65 passes
+  those probs straight to ``F.nll_loss``) — i.e. the loss is ``-p[target]``,
+  not ``-log p[target]``. Kept for training-curve parity.
+
+Masks may be bool or float; shapes broadcast from (T, B) or (T, B, 1) up to
+the element shape (T, B, D, ...).
+"""
+
+import math
+
+import jax.numpy as jnp
+
+
+def _broadcast_mask(mask, x):
+    """Right-pad mask shape with singleton dims to x's rank (losses.py:37)."""
+    if mask is None:
+        return None
+    extra = x.ndim - mask.ndim
+    if extra > 0:
+        mask = mask.reshape(mask.shape + (1,) * extra)
+    return mask
+
+
+def _combined_mask(x, mask):
+    """Length mask × element-wise not-NaN mask, as float."""
+    obs = ~jnp.isnan(x)
+    if mask is None:
+        return obs.astype(x.dtype)
+    mask = _broadcast_mask(mask, x)
+    return obs.astype(x.dtype) * mask.astype(x.dtype)
+
+
+def kld_gauss(mean_1, std_1, mean_2, std_2, mask=None):
+    """KL(N(mean_1, std_1) ‖ N(mean_2, std_2)), masked sum (losses.py:14-21)."""
+    kld_element = (2 * jnp.log(std_2) - 2 * jnp.log(std_1)
+                   + (std_1 * std_1 + (mean_1 - mean_2) ** 2)
+                   / (std_2 * std_2) - 1)
+    if mask is not None:
+        mask = _broadcast_mask(mask, kld_element)
+        kld_element = kld_element * mask.astype(kld_element.dtype)
+    return 0.5 * jnp.sum(kld_element)
+
+
+def nll_bernoulli(theta, x, mask=None):
+    """Bernoulli NLL with torch-BCE log clamping at -100 (losses.py:23-42)."""
+    m = _combined_mask(x, mask)
+    xs = jnp.where(jnp.isnan(x), 0.0, x)
+    log_t = jnp.maximum(jnp.log(theta), -100.0)
+    log_1mt = jnp.maximum(jnp.log1p(-theta), -100.0)
+    nll = -(xs * log_t + (1.0 - xs) * log_1mt)
+    return jnp.sum(nll * m)
+
+
+def nll_categorical(probs, x, mask=None):
+    """Categorical 'NLL' (reference quirk: ``-p[target]``, see module doc).
+
+    probs : (T, B, K) class probabilities
+    x : (T, B, 1) or (T, B) integer labels stored as float (NaN = missing)
+    """
+    if x.ndim == probs.ndim - 1:
+        x = x[..., None]
+    m = _combined_mask(x, mask)
+    labels = jnp.where(jnp.isnan(x), 0.0, x).astype(jnp.int32)
+    p_target = jnp.take_along_axis(probs, labels, axis=-1)
+    return jnp.sum(-p_target * m)
+
+
+def nll_gauss(mean, std, x, mask=None):
+    """Gaussian NLL, masked sum (losses.py:68-89)."""
+    m = _combined_mask(x, mask)
+    xs = jnp.where(jnp.isnan(x), 0.0, x)
+    nll = (0.5 * ((xs - mean) / std) ** 2 + jnp.log(std)
+           + 0.5 * math.log(2 * math.pi))
+    return jnp.sum(nll * m)

@@ -1,0 +1,114 @@
+"""Golden tests of masked losses against torch reference semantics.
+
+The torch expressions below are re-derived from
+/root/reference/models/losses.py (not imported), executed with the local
+CPU torch to produce golden values.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from multimodal_dmm_tpu.ops import (kld_gauss, nll_bernoulli,
+                                    nll_categorical, nll_gauss)
+
+
+def _torch_mask(x_t, mask_t):
+    shape = list(mask_t.shape) + [1] * (x_t.dim() - mask_t.dim())
+    return (~torch.isnan(x_t)) * mask_t.view(*shape)
+
+
+def test_kld_gauss_matches_torch():
+    rng = np.random.RandomState(0)
+    T, B, D = 7, 4, 3
+    m1, m2 = rng.randn(T, B, D), rng.randn(T, B, D)
+    s1, s2 = rng.rand(T, B, D) + 0.2, rng.rand(T, B, D) + 0.2
+    mask = rng.rand(T, B, 1) > 0.3
+
+    t = [torch.tensor(a, dtype=torch.float32) for a in (m1, s1, m2, s2)]
+    kld_el = (2 * torch.log(t[3]) - 2 * torch.log(t[1])
+              + (t[1].pow(2) + (t[0] - t[2]).pow(2)) / t[3].pow(2) - 1)
+    golden = 0.5 * kld_el.masked_select(
+        torch.tensor(mask).expand(T, B, D)).sum().item()
+
+    got = kld_gauss(jnp.array(m1, jnp.float32), jnp.array(s1, jnp.float32),
+                    jnp.array(m2, jnp.float32), jnp.array(s2, jnp.float32),
+                    jnp.array(mask))
+    assert np.allclose(float(got), golden, rtol=1e-4)
+
+
+def test_nll_gauss_matches_torch_with_nans():
+    rng = np.random.RandomState(1)
+    T, B, D = 6, 3, 2
+    mean = rng.randn(T, B, D).astype(np.float32)
+    std = (rng.rand(T, B, D) + 0.2).astype(np.float32)
+    x = rng.randn(T, B, D).astype(np.float32)
+    x[rng.rand(T, B, D) > 0.7] = np.nan
+    mask = rng.rand(T, B, 1) > 0.2
+
+    x_t = torch.tensor(x)
+    m_t = _torch_mask(x_t, torch.tensor(mask))
+    x_f = x_t.clone()
+    x_f[torch.isnan(x_f)] = 0.0
+    nll_el = (0.5 * ((x_f - torch.tensor(mean)) / torch.tensor(std)).pow(2)
+              + torch.tensor(std).log() + 0.5 * math.log(2 * math.pi))
+    golden = nll_el.masked_select(m_t).sum().item()
+
+    got = nll_gauss(jnp.array(mean), jnp.array(std), jnp.array(x),
+                    jnp.array(mask))
+    assert np.allclose(float(got), golden, rtol=1e-4)
+
+
+def test_nll_bernoulli_matches_torch_with_nans():
+    rng = np.random.RandomState(2)
+    T, B, D = 5, 4, 6
+    theta = rng.rand(T, B, D).astype(np.float32) * 0.98 + 0.01
+    x = (rng.rand(T, B, D) > 0.5).astype(np.float32)
+    x[rng.rand(T, B, D) > 0.8] = np.nan
+    mask = rng.rand(T, B, 1) > 0.2
+
+    x_t = torch.tensor(x)
+    m_t = _torch_mask(x_t, torch.tensor(mask))
+    golden = F.binary_cross_entropy(
+        torch.tensor(theta).masked_select(m_t),
+        x_t.masked_select(m_t), reduction="sum").item()
+
+    got = nll_bernoulli(jnp.array(theta), jnp.array(x), jnp.array(mask))
+    assert np.allclose(float(got), golden, rtol=1e-4)
+
+
+def test_nll_categorical_matches_torch_quirk():
+    """The reference applies F.nll_loss to *probabilities* — match it."""
+    rng = np.random.RandomState(3)
+    T, B, K = 6, 3, 5
+    logits = rng.randn(T, B, K).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    x = rng.randint(0, K, (T, B, 1)).astype(np.float32)
+    x[rng.rand(T, B, 1) > 0.8] = np.nan
+    mask = rng.rand(T, B, 1) > 0.2
+
+    probs_t, x_t = torch.tensor(probs), torch.tensor(x)
+    m_t = _torch_mask(x_t, torch.tensor(mask))
+    probs_sel = torch.stack(
+        [probs_t[:, :, k:k + 1].masked_select(m_t) for k in range(K)], dim=-1)
+    golden = F.nll_loss(probs_sel, x_t.masked_select(m_t).long(),
+                        reduction="sum").item()
+
+    got = nll_categorical(jnp.array(probs), jnp.array(x), jnp.array(mask))
+    assert np.allclose(float(got), golden, rtol=1e-4)
+
+
+def test_losses_are_sums_not_means():
+    """Doubling the batch doubles the loss (summed convention)."""
+    x = jnp.zeros((4, 2, 3))
+    mean = jnp.ones((4, 2, 3))
+    std = jnp.ones((4, 2, 3))
+    l1 = nll_gauss(mean, std, x)
+    x2 = jnp.zeros((4, 4, 3))
+    mean2 = jnp.ones((4, 4, 3))
+    std2 = jnp.ones((4, 4, 3))
+    l2 = nll_gauss(mean2, std2, x2)
+    assert np.allclose(float(l2), 2 * float(l1), rtol=1e-5)
