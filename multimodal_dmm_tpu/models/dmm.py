@@ -1,0 +1,364 @@
+"""Multimodal Deep Markov Model with BFVI, as `jax.lax.scan` programs.
+
+TPU-native re-design of /root/reference/models/dmm.py (MultiDMM):
+
+- the two sequential filtering loops (`z_filter`, dmm.py:319-412) become
+  `lax.scan`s over a fused per-step cell (conditional-prior GTF + masked
+  product-of-experts + reparameterized particle sampling); the backward
+  pass is a scan over time-reversed inputs;
+- particles are a leading vmap axis with a closed-form mean-of-experts
+  reduction (dmm.py:248-258);
+- the smoothing pass appends the filtering pass's conditional priors and
+  an **inverse global prior** expert (negative std ⇒ negative precision,
+  dmm.py:473-489) to the observation-expert tensor;
+- encode/decode run batched over the flattened (T·B) axis — pure matmul /
+  conv work for the MXU.
+
+Modes (dmm.py:420-494): 'bfilter' / 'ffilter' are a single filtering pass;
+'fsmooth' / 'bsmooth' add the opposite-direction smoothing pass. The
+training objective (dmm.py:503-554) combines fwd+bwd prior-matching KLD,
+a filtering-mode ELBO and a smoothing-mode ELBO.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import losses
+from ..ops.poe import product_of_experts, mean_of_experts
+from . import nn as tnn
+from .base import (MultiDGTS, mlp_gaussian_codec, mlp_categorical_codec,
+                   embed_gaussian_codec)
+
+
+class MultiDMM(MultiDGTS):
+    """Multimodal deep Markov model with bidirectional factorized
+    variational inference."""
+
+    def __init__(self, modalities, dims, dists=None,
+                 encoders=None, decoders=None, h_dim=32, z_dim=32,
+                 z0_mean=0.0, z0_std=1.0, min_std=1e-3):
+        self.modalities = list(modalities)
+        self.n_mods = len(self.modalities)
+        self.dims = dict(zip(self.modalities, dims))
+        self.h_dim = h_dim
+        self.z_dim = z_dim
+        if dists is None:
+            dists = ["Normal"] * self.n_mods
+        self.dists = dict(zip(self.modalities, dists))
+        self.z0_mean_init = z0_mean
+        self.z0_std_init = z0_std
+        self.min_std = min_std
+
+        # Default codecs (dmm.py:73-106); custom ones override.
+        self.enc = {}
+        self.dec = {}
+        for m in self.modalities:
+            if self.dists[m] == "Categorical":
+                self.enc[m] = embed_gaussian_codec(
+                    self._dim_of(m), z_dim, h_dim)
+                self.dec[m] = mlp_categorical_codec(
+                    z_dim, self._dim_of(m), h_dim)
+            else:
+                self.enc[m] = mlp_gaussian_codec(
+                    self._dim_of(m), z_dim, h_dim)
+                self.dec[m] = mlp_gaussian_codec(
+                    z_dim, self._dim_of(m), h_dim)
+        if encoders is not None:
+            if isinstance(encoders, list):
+                encoders = dict(zip(self.modalities, encoders))
+            self.enc.update(encoders)
+        if decoders is not None:
+            if isinstance(decoders, list):
+                decoders = dict(zip(self.modalities, decoders))
+            self.dec.update(decoders)
+
+    # -- parameters -----------------------------------------------------------
+
+    def init(self, key):
+        """Initialize (params, state) pytrees."""
+        keys = jax.random.split(key, 2 * self.n_mods + 2)
+        params = {"enc": {}, "dec": {}}
+        state = {"enc": {}, "dec": {}}
+        for i, m in enumerate(self.modalities):
+            params["enc"][m], state["enc"][m] = self.enc[m].init(keys[i])
+            params["dec"][m], state["dec"][m] = \
+                self.dec[m].init(keys[self.n_mods + i])
+        # Two learned GTF transitions (dmm.py:108-112).
+        k_fwd, k_bwd = keys[-2], keys[-1]
+        params["trans"] = {
+            "fwd": tnn.gtf_init(k_fwd, self.z_dim, self.h_dim,
+                                self.min_std),
+            "bwd": tnn.gtf_init(k_bwd, self.z_dim, self.h_dim,
+                                self.min_std),
+        }
+        # Learned global prior (dmm.py:114-117).
+        params["z0_mean"] = jnp.full((1, self.z_dim), self.z0_mean_init,
+                                     jnp.float32)
+        params["z0_log_std"] = jnp.log(
+            jnp.full((1, self.z_dim), self.z0_std_init, jnp.float32))
+        return params, state
+
+    def prior_params(self, params, shape):
+        """Global prior broadcast to ``shape[:-1] + (z_dim,)``
+        (dmm.py:124-129)."""
+        target = tuple(shape[:-1]) + (self.z_dim,)
+        mean = jnp.broadcast_to(params["z0_mean"][0], target)
+        std = jnp.broadcast_to(
+            jnp.exp(params["z0_log_std"][0]) + self.min_std, target)
+        return mean, std
+
+    # -- encode / decode ------------------------------------------------------
+
+    def encode(self, params, state, inputs, train=False, combine=False):
+        """Per-modality q'(z|x_m) params + NaN-derived masks
+        (dmm.py:131-190). inputs must contain every modality (NaN-fill
+        absent ones first). Returns ((M,T,B,z) mean/std, (M,T,B) mask),
+        new encoder state."""
+        t_max, b_dim = inputs[self.modalities[0]].shape[:2]
+        z_mean, z_std, masks = [], [], []
+        new_state = dict(state)
+        for m in self.modalities:
+            x = inputs[m]
+            flat = x.reshape(t_max * b_dim, -1)
+            mask_m = ~jnp.isnan(flat).any(axis=-1)
+            x_f = jnp.where(jnp.isnan(x), 0.0, x)
+            x_flat = x_f.reshape((t_max * b_dim,) + x.shape[2:])
+            (m_mean, m_std), new_state[m] = self.enc[m].apply(
+                params["enc"][m], state[m], x_flat, train)
+            z_mean.append(m_mean.reshape(t_max, b_dim, -1))
+            z_std.append(m_std.reshape(t_max, b_dim, -1))
+            masks.append(mask_m.reshape(t_max, b_dim))
+        z_mean = jnp.stack(z_mean, axis=0)
+        z_std = jnp.stack(z_std, axis=0)
+        masks = jnp.stack(masks, axis=0)
+        if combine:
+            z_mean, z_std = product_of_experts(z_mean, z_std, masks)
+            masks = masks.any(axis=0)
+        return (z_mean, z_std, masks), new_state
+
+    def decode(self, params, state, z, train=False):
+        """z: (T, B, z_dim) → recon dict of (T, B, ...) param tuples
+        (dmm.py:192-212)."""
+        t_max, b_dim = z.shape[:2]
+        flat = z.reshape(t_max * b_dim, self.z_dim)
+        recon = {}
+        new_state = dict(state)
+        for m in self.modalities:
+            out, new_state[m] = self.dec[m].apply(
+                params["dec"][m], state[m], flat, train)
+            recon[m] = tuple(
+                r.reshape((t_max, b_dim) + r.shape[1:]) for r in out)
+        return recon, new_state
+
+    # -- latent dynamics ------------------------------------------------------
+
+    def _z_next(self, params, z, direction, glb_mean, glb_std):
+        """p(z_next|z) from particles z: (K, B, D) → (B, D) params
+        (dmm.py:214-258): PoE(global prior, GTF(z_k)) per particle, then
+        moment-matched average over particles."""
+        q_mean, q_std = tnn.gtf_apply(params["trans"][direction], z)
+        glb_mean_b = jnp.broadcast_to(glb_mean, q_mean.shape)
+        glb_std_b = jnp.broadcast_to(glb_std, q_std.shape)
+        pp_mean, pp_std = product_of_experts(
+            jnp.stack([glb_mean_b, q_mean]),
+            jnp.stack([glb_std_b, q_std]))
+        return mean_of_experts(pp_mean, pp_std)
+
+    def z_filter(self, params, z_mean, z_std, z_masks, rng,
+                 direction="fwd", sample=True, n_particles=1,
+                 sample_init=False):
+        """Filtering scan (dmm.py:319-412).
+
+        z_mean/z_std: (M', T, B, D); z_masks: (M', T, B). Returns
+        (infer, prior, samples) in original time order.
+        """
+        n_exp, t_max, b_dim, z_dim = z_mean.shape
+        glb_mean, glb_std = self.prior_params(params, (b_dim, self.z_dim))
+
+        # Time-major expert tensors for scan; flip time for backward.
+        xs_mean = jnp.moveaxis(z_mean, 1, 0)   # (T, M', B, D)
+        xs_std = jnp.moveaxis(z_std, 1, 0)
+        xs_mask = jnp.moveaxis(z_masks, 1, 0)  # (T, M', B)
+        if direction == "bwd":
+            xs_mean = xs_mean[::-1]
+            xs_std = xs_std[::-1]
+            xs_mask = xs_mask[::-1]
+        is_first = (jnp.arange(t_max) == 0)
+        keys = jax.random.split(rng, t_max)
+        do_sample = sample or n_particles > 1
+
+        def cell(z_prev, xs):
+            om, os, omask, first, key = xs
+            # Conditional prior p(z_t|z_prev); replaced by the global
+            # prior at the first step of the pass (dmm.py:376-382).
+            pm, ps = self._z_next(params, z_prev, direction,
+                                  glb_mean, glb_std)
+            prior_mean_t = jnp.where(first, glb_mean, pm)
+            prior_std_t = jnp.where(first, glb_std, ps)
+            # PoE of [cond prior; per-expert observations] (dmm.py:387-393).
+            all_mean = jnp.concatenate([prior_mean_t[None], om], axis=0)
+            all_std = jnp.concatenate([prior_std_t[None], os], axis=0)
+            all_mask = jnp.concatenate(
+                [jnp.ones((1, b_dim), bool), omask.astype(bool)], axis=0)
+            infer_mean_t, infer_std_t = product_of_experts(
+                all_mean, all_std, all_mask)
+            # Particle sampling (dmm.py:398-405).
+            if do_sample:
+                z_t = self.sample_gauss(
+                    key, infer_mean_t, infer_std_t,
+                    (n_particles,) + infer_mean_t.shape)
+            elif sample_init:
+                z_s = self.sample_gauss(key, infer_mean_t, infer_std_t,
+                                        (1,) + infer_mean_t.shape)
+                z_t = jnp.where(first, z_s, infer_mean_t[None])
+            else:
+                z_t = infer_mean_t[None]
+            sample_out = jnp.mean(z_t, axis=0)
+            return z_t, (prior_mean_t, prior_std_t,
+                         infer_mean_t, infer_std_t, sample_out)
+
+        k_init = n_particles if do_sample else 1
+        z0 = jnp.zeros((k_init, b_dim, self.z_dim))
+        _, (p_mean, p_std, i_mean, i_std, samples) = jax.lax.scan(
+            cell, z0, (xs_mean, xs_std, xs_mask, is_first, keys))
+
+        if direction == "bwd":
+            p_mean, p_std = p_mean[::-1], p_std[::-1]
+            i_mean, i_std = i_mean[::-1], i_std[::-1]
+            samples = samples[::-1]
+        return (i_mean, i_std), (p_mean, p_std), samples
+
+    def z_sample(self, params, t_max, b_dim, rng, direction="fwd",
+                 sample=True, n_particles=1, z_init=None, inclusive=False):
+        """Ancestral rollout of the latent chain (dmm.py:260-317)."""
+        glb_mean, glb_std = self.prior_params(params, (b_dim, self.z_dim))
+        init_mean, init_std = (glb_mean, glb_std) if z_init is None \
+            else z_init
+        n_steps = t_max - int(inclusive)
+        keys = jax.random.split(rng, max(n_steps, 1))
+        do_sample = sample or n_particles > 1
+
+        def cell(carry, key):
+            mean_t, std_t = carry
+            if do_sample:
+                z_t = self.sample_gauss(key, mean_t, std_t,
+                                        (n_particles,) + mean_t.shape)
+            else:
+                z_t = mean_t[None]
+            nxt = self._z_next(params, z_t, direction, glb_mean, glb_std)
+            return nxt, nxt
+
+        _, (means, stds) = jax.lax.scan(
+            cell, (init_mean, init_std), keys[:n_steps])
+        if inclusive:
+            means = jnp.concatenate([init_mean[None], means], axis=0)
+            stds = jnp.concatenate([init_std[None], stds], axis=0)
+        if direction == "bwd":
+            means, stds = means[::-1], stds[::-1]
+        return means, stds
+
+    # -- forward --------------------------------------------------------------
+
+    def forward(self, params, state, inputs, rng, lengths=None,
+                mode="fsmooth", sample=True, sample_init=False,
+                flt_particles=1, smt_particles=1, train=False):
+        """BFVI forward (dmm.py:420-494). Returns
+        ((infer, prior, recon), new_state)."""
+        some = inputs[list(inputs.keys())[0]]
+        t_max, b_dim = some.shape[:2]
+        full_inputs = self._nan_fill_missing(inputs, t_max, b_dim)
+
+        k_enc, k_flt, k_smt, k_dec = jax.random.split(rng, 4)
+        (obs_mean, obs_std, obs_mask), enc_state = self.encode(
+            params, state["enc"], full_inputs, train)
+
+        # Filtering pass.
+        direction = "fwd" if mode in ("ffilter", "bsmooth") else "bwd"
+        flt_init = sample_init if mode in ("ffilter", "bfilter") else False
+        infer, prior, z_samples = self.z_filter(
+            params, obs_mean, obs_std, obs_mask.astype(jnp.float32),
+            k_flt, direction=direction, sample=sample,
+            n_particles=flt_particles, sample_init=flt_init)
+
+        # Smoothing pass: append filter-prior + inverse-global-prior
+        # experts (dmm.py:473-489).
+        if mode in ("fsmooth", "bsmooth"):
+            direction = "fwd" if mode == "fsmooth" else "bwd"
+            glb_mean, glb_std = self.prior_params(
+                params, (t_max, b_dim, self.z_dim))
+            inv_mean = jnp.broadcast_to(glb_mean,
+                                        (t_max, b_dim, self.z_dim))
+            inv_std = -jnp.broadcast_to(glb_std,
+                                        (t_max, b_dim, self.z_dim))
+            inv_mask = jnp.ones((t_max, b_dim))
+            flt_mean, flt_std = prior
+            flt_mask = jnp.ones((t_max, b_dim)).at[-1].set(0.0)
+            cat = lambda a, b: jnp.concatenate([a, b[None]], axis=0)  # noqa: E731
+            infer, prior, z_samples = self.z_filter(
+                params,
+                cat(cat(obs_mean, flt_mean), inv_mean),
+                cat(cat(obs_std, flt_std), inv_std),
+                cat(cat(obs_mask.astype(jnp.float32), flt_mask), inv_mask),
+                k_smt, direction=direction, sample=sample,
+                n_particles=smt_particles, sample_init=sample_init)
+
+        recon, dec_state = self.decode(params, state["dec"], z_samples,
+                                       train)
+        new_state = {"enc": enc_state, "dec": dec_state}
+        return (infer, prior, recon), new_state
+
+    def sample(self, params, state, t_max, b_dim, rng, direction="fwd"):
+        """Unconditional generation (dmm.py:414-418)."""
+        z_mean, _ = self.z_sample(params, t_max, b_dim, rng, direction,
+                                  sample=True)
+        recon, _ = self.decode(params, state["dec"], z_mean, train=False)
+        return recon
+
+    # -- objective ------------------------------------------------------------
+
+    def kld_prior(self, params, rng, n_particles, direction="fwd"):
+        """KL(p(z) ‖ E[p(z'|z)]) prior-matching regularizer
+        (dmm.py:496-501)."""
+        glb_mean, glb_std = self.prior_params(params, (1, 1, self.z_dim))
+        nxt_mean, nxt_std = self.z_sample(
+            params, 1, 1, rng, direction, sample=True,
+            n_particles=n_particles)
+        return losses.kld_gauss(glb_mean, glb_std, nxt_mean, nxt_std)
+
+    def step(self, params, state, inputs, mask, kld_mult, rec_mults, rng,
+             targets=None, uni_loss=True, train=True, **kwargs):
+        """Bidirectional training objective (dmm.py:503-554):
+        match_mult·kld_mult·Σmask·(fwd+bwd prior matching)
+        + f_mult·ELBO(bfilter) + s_mult·ELBO(fsmooth, 25 filter
+        particles)."""
+        f_mode = kwargs.pop("f_mode", "bfilter")
+        s_mode = kwargs.pop("s_mode", "fsmooth")
+        f_mult = kwargs.pop("f_mult", 0.5)
+        s_mult = kwargs.pop("s_mult", 0.5)
+        match_mult = kwargs.pop("match_mult", 0.01)
+        train_particles = kwargs.pop("train_particles", 25)
+        match_particles = kwargs.pop("match_particles", 50)
+        kwargs.pop("mode", None)
+        flt_particles = kwargs.pop("flt_particles", 1)
+        kwargs.pop("smt_particles", None)
+
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        loss = 0.0
+        if match_mult > 0:
+            msum = jnp.sum(mask).astype(jnp.float32)
+            loss += (match_mult * kld_mult * msum *
+                     self.kld_prior(params, k1, match_particles, "fwd"))
+            loss += (match_mult * kld_mult * msum *
+                     self.kld_prior(params, k2, match_particles, "bwd"))
+        f_loss, state = MultiDGTS.step(
+            self, params, state, inputs, mask, kld_mult, rec_mults, k3,
+            targets=targets, uni_loss=uni_loss, train=train,
+            mode=f_mode, flt_particles=flt_particles, **kwargs)
+        loss += f_mult * f_loss
+        s_loss, state = MultiDGTS.step(
+            self, params, state, inputs, mask, kld_mult, rec_mults, k4,
+            targets=targets, uni_loss=uni_loss, train=train,
+            mode=s_mode, flt_particles=train_particles, **kwargs)
+        loss += s_mult * s_loss
+        return loss, state

@@ -1,0 +1,538 @@
+"""Abstract Trainer: config surface, jitted train loop, eval-task engine,
+checkpointing, and the run/run_train/run_eval/run_find drivers.
+
+JAX re-design of /root/reference/trainer.py. The public flag surface (flag
+names, YAML-dict flags, --method remap, defaults) is preserved — it is the
+framework's de-facto API (SURVEY §5.6). Differences by design:
+
+- the whole training step (burst-deleted inputs → multi-forward BFVI
+  objective → grads → Adam-with-L2 update) is ONE jitted function; the
+  KLD annealing multiplier is a traced scalar so no recompile per batch;
+- randomness is explicit: `--seed` seeds numpy (data corruption order,
+  like the reference) and a root `jax.random` key (model sampling);
+- checkpoints are pytree pickles that also carry optimizer state;
+- `--device` selects the JAX platform; the default is the TPU backend.
+"""
+
+import argparse
+import copy
+import os
+
+import numpy as np
+import yaml
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import models
+from ..data import multiseq as mseq
+from ..ops.schedules import anneal
+from .checkpoint import save_checkpoint, load_checkpoint
+from .loader import BatchLoader
+
+
+def _build_parser():
+    """Flag surface mirroring /root/reference/trainer.py:28-153."""
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('--modalities', type=str, nargs='+', default=[],
+                        metavar='M', help='data modalities')
+    parser.add_argument('--model', type=str, default='dmm', metavar='S',
+                        help='name of model to train')
+    parser.add_argument('--method', type=str, default=None, metavar='S',
+                        help='inference method: bfvi, b/f-mask, or b/f-skip')
+    parser.add_argument('--model_args', type=yaml.safe_load, default={},
+                        metavar='DICT',
+                        help='additional model arguments as yaml dict')
+    parser.add_argument('--train_args', type=yaml.safe_load, default={},
+                        metavar='DICT',
+                        help='additional train arguments as yaml dict')
+    parser.add_argument('--eval_args', type=yaml.safe_load, default={},
+                        metavar='DICT',
+                        help='additional eval. arguments as yaml dict')
+    parser.add_argument('--save_args', type=yaml.safe_load, default={},
+                        metavar='DICT',
+                        help='results saving arguments as yaml dict')
+    parser.add_argument('--batch_size', type=int, default=100, metavar='N')
+    parser.add_argument('--batch_sz_eval', type=int, default=None,
+                        metavar='N')
+    parser.add_argument('--split', type=int, default=1, metavar='N',
+                        help='split each training sequence into N chunks')
+    parser.add_argument('--bylen', action='store_true', default=False,
+                        help='whether to split by length')
+    parser.add_argument('--epochs', type=int, default=100, metavar='N')
+    parser.add_argument('--lr', type=float, default=1e-4, metavar='LR')
+    parser.add_argument('--w_decay', type=float, default=1e-4, metavar='F')
+    parser.add_argument('--clip_grad', type=float, default=None,
+                        metavar='F')
+    parser.add_argument('--seed', type=int, default=1, metavar='N')
+    parser.add_argument('--kld_mult', type=float, default=1.0, metavar='F')
+    parser.add_argument('--rec_mults', type=yaml.safe_load, default='auto',
+                        metavar='DICT')
+    parser.add_argument('--kld_anneal', type=int, default=100, metavar='N')
+    parser.add_argument('--data_workers', type=int, default=1, metavar='N',
+                        help='(accepted for parity; loader is in-process)')
+    parser.add_argument('--pin_memory', type=bool, default=True,
+                        metavar='B',
+                        help='(accepted for parity; XLA manages transfers)')
+    parser.add_argument('--normalize', type=str, default=[], nargs='+',
+                        metavar='M')
+    parser.add_argument('--corrupt', type=yaml.safe_load, default={},
+                        metavar='DICT')
+    parser.add_argument('--burst_frac', type=float, default=0.1,
+                        metavar='F')
+    parser.add_argument('--drop_frac', type=float, default=0.5,
+                        metavar='F')
+    parser.add_argument('--start_frac', type=float, default=0.25,
+                        metavar='F')
+    parser.add_argument('--stop_frac', type=float, default=0.75,
+                        metavar='F')
+    parser.add_argument('--drop_mods', type=str, default=[], nargs='+',
+                        metavar='M')
+    parser.add_argument('--keep_mods', type=str, default=[], nargs='+',
+                        metavar='M')
+    parser.add_argument('--eval_mods', type=str, default='all', nargs='+',
+                        metavar='M')
+    parser.add_argument('--eval_metric', type=str, default='mse',
+                        metavar='S')
+    parser.add_argument('--viz_metric', type=str, default='mse',
+                        metavar='S')
+    parser.add_argument('--eval_freq', type=int, default=10, metavar='N')
+    parser.add_argument('--save_freq', type=int, default=10, metavar='N')
+    parser.add_argument('--load', type=str, default=None, metavar='PATH')
+    parser.add_argument('--data_dir', type=str, metavar='DIR')
+    parser.add_argument('--save_dir', type=str, metavar='DIR')
+    parser.add_argument('--visualize', action='store_true', default=False)
+    parser.add_argument('--gradients', action='store_true', default=False)
+    parser.add_argument('--device', type=str, default='tpu',
+                        help='jax platform to use (tpu/cpu)')
+    parser.add_argument('--anomaly_check', action='store_true',
+                        default=False,
+                        help='enable jax_debug_nans NaN checking')
+    parser.add_argument('--evaluate', '--test', action='store_true',
+                        default=False)
+    parser.add_argument('--eval_sets', type=str, nargs='+', metavar='S',
+                        default=['train', 'test'])
+    parser.add_argument('--find_best', action='store_true', default=False)
+    return parser
+
+
+class Trainer:
+    """Abstract base class for training on multimodal sequential data."""
+
+    parser = _build_parser()
+
+    def __init__(self, args):
+        # Seeding (trainer.py:156-159): numpy drives data corruption,
+        # a jax key drives model sampling.
+        np.random.seed(args.seed)
+        self.rng = jax.random.PRNGKey(args.seed)
+
+        if args.anomaly_check:
+            jax.config.update("jax_debug_nans", True)
+
+        if str(args.device).startswith("cpu"):
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+
+        args = self.pre_build_args(args)
+
+        if not os.path.exists(args.save_dir):
+            os.makedirs(args.save_dir)
+
+        # Checkpoint auto-load (trainer.py:176-188).
+        checkpoint = None
+        if args.load is not None:
+            checkpoint = load_checkpoint(args.load)
+        elif args.evaluate:
+            checkpoint = load_checkpoint(
+                os.path.join(args.save_dir, "best.pth"))
+        if checkpoint is not None:
+            args.modalities = checkpoint["modalities"]
+
+        self.train_data, self.test_data = self.load_data(
+            args.modalities, args)
+
+        # Model construction via registry (trainer.py:192-205).
+        constructor = models.get_model(args.model)
+        print('Constructing model...')
+        self.model = self.build_model(constructor, args)
+        self.rng, k_init = jax.random.split(self.rng)
+        self.params, self.state = self.model.init(k_init)
+        n_params = sum(int(np.prod(np.shape(p))) for p in
+                       jax.tree_util.tree_leaves(self.params))
+        print('Number of parameters:', n_params)
+
+        if checkpoint is not None:
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, checkpoint["params"])
+            if "state" in checkpoint:
+                self.state = jax.tree_util.tree_map(
+                    jnp.asarray, checkpoint["state"])
+
+        # Adam with torch-style additive L2 weight decay
+        # (trainer.py:212-213: optim.Adam(..., weight_decay)).
+        tx = []
+        if args.clip_grad is not None and args.clip_grad > 0:
+            tx.append(optax.clip_by_global_norm(args.clip_grad))
+        if args.w_decay:
+            tx.append(optax.add_decayed_weights(args.w_decay))
+        tx.append(optax.adam(args.lr))
+        self.optimizer = optax.chain(*tx)
+        self.opt_state = self.optimizer.init(self.params)
+        if checkpoint is not None and "opt_state" in checkpoint:
+            try:
+                self.opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, checkpoint["opt_state"])
+            except Exception:
+                pass
+
+        args = self.post_build_args(args)
+        self._train_step = None
+        self._train_step_key = None
+        self._fwd_cache = {}
+
+    # ------------------------------------------------------------------
+    # jitted step builders
+    # ------------------------------------------------------------------
+
+    def _make_train_step(self, rec_mults, train_args):
+        model, optimizer = self.model, self.optimizer
+        train_args = dict(train_args)
+
+        def train_step(params, state, opt_state, inputs, targets, mask,
+                       kld_mult, n_data, rng):
+            def loss_fn(p):
+                loss, new_state = model.step(
+                    p, state, inputs, mask, kld_mult, rec_mults, rng,
+                    targets=targets, train=True, **train_args)
+                return loss / n_data, (loss, new_state)
+
+            grads, (loss, new_state) = jax.grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_state, new_opt, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 2))
+
+    def _get_train_step(self, args):
+        key = (tuple(sorted(args.rec_mults.items())),
+               tuple(sorted(args.train_args.items())))
+        if self._train_step is None or self._train_step_key != key:
+            self._train_step = self._make_train_step(
+                dict(args.rec_mults), dict(args.train_args))
+            self._train_step_key = key
+        return self._train_step
+
+    def _get_fwd(self, **fwd_kwargs):
+        """Cache jitted MAP/sampled forwards per static-kwarg set."""
+        key = tuple(sorted(fwd_kwargs.items()))
+        if key not in self._fwd_cache:
+            model = self.model
+
+            def fwd(params, state, inputs, rng):
+                return model.forward(params, state, inputs, rng=rng,
+                                     **fwd_kwargs)
+            self._fwd_cache[key] = jax.jit(fwd)
+        return self._fwd_cache[key]
+
+    # ------------------------------------------------------------------
+    # train / evaluate (trainer.py:218-323)
+    # ------------------------------------------------------------------
+
+    def _to_device(self, batch):
+        return {m: jnp.asarray(batch[m]) for m in batch
+                if m in self.model.modalities}
+
+    def train(self, loader, epoch, args):
+        """One epoch of batched gradient descent (trainer.py:218-262)."""
+        loss_sum, data_num = 0.0, 0
+        kld_mult = 0.0
+        step_fn = self._get_train_step(args)
+        n_batches = len(loader)
+        for b_num, (targets, mask, lengths, _, _) in enumerate(loader):
+            b_tot = b_num + epoch * n_batches
+            kld_mult = anneal(0.0, args.kld_mult, b_tot,
+                              args.kld_anneal * n_batches)
+            # Burst deletion augmentation (trainer.py:234-235).
+            inputs = mseq.burst_delete(targets, args.burst_frac, lengths)
+            dev_inputs = self._to_device(inputs)
+            dev_targets = self._to_device(targets)
+            self.rng, sub = jax.random.split(self.rng)
+            self.params, self.state, self.opt_state, b_loss = step_fn(
+                self.params, self.state, self.opt_state,
+                dev_inputs, dev_targets, jnp.asarray(mask),
+                jnp.float32(kld_mult), jnp.float32(sum(lengths)), sub)
+            loss_sum += float(b_loss)
+            data_num += sum(lengths)
+            print('Batch: {:5d}\tLoss: {:10.1f}'.format(
+                b_num, loss_sum / data_num))
+        loss = loss_sum / data_num
+        print('---')
+        print('Epoch: {}\tLoss: {:10.1f}\tKLD-Mult: {:0.3f}'.format(
+            epoch, loss, kld_mult))
+        return loss
+
+    def evaluate(self, loader, args):
+        """Eval-task engine (trainer.py:264-323): compose rand_delete +
+        keep_segment + drop/keep_mods, run the MAP forward, compute
+        metrics, decollate results."""
+        n_timesteps = 0
+        metrics = None
+        results = {'seq_ids': [], 'targets': [], 'inputs': [], 'recon': []}
+        rec_mults = dict(args.rec_mults)
+        if args.eval_mods != 'all':
+            for m in rec_mults:
+                rec_mults[m] *= float(m in args.eval_mods)
+        eval_args = {'sample': False}
+        eval_args.update(args.eval_args)
+        fwd = self._get_fwd(**eval_args)
+
+        for b_num, (targets, mask, lengths, order, ids) in \
+                enumerate(loader):
+            inputs = mseq.rand_delete(targets, args.drop_frac, lengths)
+            inputs = mseq.keep_segment(inputs, args.start_frac,
+                                       args.stop_frac, lengths)
+            for m in args.drop_mods:
+                inputs[m][:] = float('nan')
+            for m in args.keep_mods:
+                inputs[m] = np.array(targets[m], copy=True)
+            self.rng, sub = jax.random.split(self.rng)
+            (infer, prior, recon), _ = fwd(
+                self.params, self.state, self._to_device(inputs), sub)
+            infer = tuple(np.asarray(x) for x in infer)
+            prior = tuple(np.asarray(x) for x in prior)
+            recon = {m: tuple(np.asarray(r) for r in rs)
+                     for m, rs in recon.items()}
+            n_timesteps += sum(lengths)
+            b_metrics = self.compute_metrics(
+                self.model, infer, prior, recon, targets, mask, lengths,
+                order, args, rec_mults=rec_mults)
+            metrics = (b_metrics if metrics is None else
+                       {k: metrics[k] + b_metrics[k] for k in metrics})
+            results['seq_ids'] += [ids[i] for i in order]
+            results['targets'].append(
+                mseq.seq_decoll_dict(targets, lengths, order))
+            results['inputs'].append(
+                mseq.seq_decoll_dict(inputs, lengths, order))
+            results['recon'].append(
+                mseq.seq_decoll_dict(recon, lengths, order))
+        for k in ('targets', 'inputs', 'recon'):
+            modalities = list(results[k][0].keys())
+            results[k] = {m: [seq for batch in results[k]
+                              for seq in batch[m]] for m in modalities}
+        if args.visualize:
+            self.visualize(results, metrics[args.viz_metric], args)
+        metrics = self.summarize_metrics(metrics, n_timesteps)
+        return results, metrics
+
+    # ------------------------------------------------------------------
+    # hooks (trainer.py:339-395)
+    # ------------------------------------------------------------------
+
+    def build_model(self, constructor, args):
+        raise NotImplementedError
+
+    def load_data(self, modalities, args):
+        raise NotImplementedError
+
+    def pre_build_args(self, args):
+        """--method remap (trainer.py:349-370)."""
+        if args.batch_sz_eval is None:
+            args.batch_sz_eval = args.batch_size
+        if args.method in ('bfvi', 'b-mask', 'f-mask', 'b-skip', 'f-skip'):
+            print("Setting up '{}' inference method...".format(
+                args.method))
+            print("The --model and --model_args flags will be "
+                  "overwritten.")
+            if args.method == 'bfvi':
+                args.model = 'dmm'
+                if 'flt_particles' not in args.eval_args:
+                    args.eval_args['flt_particles'] = 200
+            else:
+                args.model = 'dks'
+                args.model_args = {
+                    "rnn_skip": 'skip' in args.method,
+                    "rnn_dir": 'bwd' if args.method[0] == 'b' else 'fwd',
+                }
+        elif args.method is not None:
+            print("Ignoring unknown inference method '{}'".format(
+                args.method))
+        return args
+
+    def post_build_args(self, args):
+        return args
+
+    def compute_metrics(self, model, infer, prior, recon, targets, mask,
+                        lengths, order, args, rec_mults=None):
+        raise NotImplementedError
+
+    def summarize_metrics(self, metrics, n_timesteps):
+        raise NotImplementedError
+
+    def visualize(self, results, metric, args):
+        raise NotImplementedError
+
+    def save_results(self, results, args):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # persistence (trainer.py:325-337,397-403)
+    # ------------------------------------------------------------------
+
+    def save_params(self, args):
+        import pandas as pd
+        fname = 'param_hist.tsv'
+        df = pd.DataFrame([vars(args)], columns=list(vars(args).keys()))
+        df = df[['save_dir', 'model', 'modalities',
+                 'batch_size', 'split', 'epochs', 'lr', 'w_decay', 'seed',
+                 'burst_frac', 'kld_mult', 'rec_mults', 'kld_anneal',
+                 'model_args', 'train_args', 'eval_args']]
+        df['h_dim'] = self.model.h_dim
+        df['z_dim'] = self.model.z_dim
+        df.to_csv(fname, mode='a', header=(not os.path.exists(fname)),
+                  sep='\t')
+
+    def save_checkpoint(self, modalities, path):
+        save_checkpoint(path, modalities, self.params, self.state,
+                        self.opt_state)
+
+    def load_checkpoint(self, path, device=None):
+        return load_checkpoint(path)
+
+    # ------------------------------------------------------------------
+    # drivers (trainer.py:405-579)
+    # ------------------------------------------------------------------
+
+    def run_eval(self, args):
+        """Evaluate on train and/or test sets (trainer.py:405-435)."""
+        train_metrics, test_metrics = None, None
+        if 'train' in args.eval_sets:
+            print("--Training--")
+            loader = BatchLoader(self.train_data,
+                                 batch_size=args.batch_sz_eval)
+            args.eval_set = 'train'
+            results, train_metrics = self.evaluate(loader, args)
+            self.save_results(results, args)
+        if 'test' in args.eval_sets:
+            print("--Testing--")
+            loader = BatchLoader(self.test_data,
+                                 batch_size=args.batch_sz_eval)
+            args.eval_set = 'test'
+            results, test_metrics = self.evaluate(loader, args)
+            self.save_results(results, args)
+        self.save_params(args)
+        return train_metrics, test_metrics
+
+    def run_find(self, args):
+        """Sweep saved epoch checkpoints for the best model
+        (trainer.py:437-476)."""
+        test_loader = BatchLoader(self.test_data,
+                                  batch_size=args.batch_sz_eval)
+        best_loss, best_epoch = float('inf'), -1
+        args.eval_set = None
+        for epoch in range(args.save_freq, args.epochs + 1,
+                           args.save_freq):
+            path = os.path.join(args.save_dir,
+                                "epoch_{}.pth".format(epoch))
+            if not os.path.exists(path):
+                continue
+            checkpoint = load_checkpoint(path)
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, checkpoint["params"])
+            if "state" in checkpoint:
+                self.state = jax.tree_util.tree_map(
+                    jnp.asarray, checkpoint["state"])
+            print('--- Epoch {} ---'.format(epoch))
+            _, metrics = self.evaluate(test_loader, args)
+            loss = metrics[args.eval_metric]
+            if loss < best_loss:
+                best_loss, best_epoch = loss, epoch
+                self.save_checkpoint(
+                    args.modalities,
+                    os.path.join(args.save_dir, "best.pth"))
+        print('=== Best Epoch : {} ==='.format(best_epoch))
+        checkpoint = load_checkpoint(
+            os.path.join(args.save_dir, "best.pth"))
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray, checkpoint["params"])
+        if "state" in checkpoint:
+            self.state = jax.tree_util.tree_map(
+                jnp.asarray, checkpoint["state"])
+        results, metrics = self.evaluate(test_loader, args)
+        self.save_params(args)
+        return best_epoch, metrics
+
+    def run_train(self, args, reporter=None):
+        """Full training driver (trainer.py:478-554)."""
+        train_data, test_data = self.train_data, self.test_data
+
+        # Train-data corruption (trainer.py:491-503).
+        if 'uniform' in args.corrupt:
+            train_data = train_data.corrupt(args.corrupt['uniform'])
+        if 'burst' in args.corrupt:
+            train_data = train_data.corrupt(args.corrupt['burst'],
+                                            mode='burst')
+        if 'semi' in args.corrupt:
+            train_data = train_data.corrupt(
+                args.corrupt['semi'], mode='all_none',
+                modalities=args.corrupt['modalities'])
+
+        train_data = train_data.split(args.split, args.bylen)
+        train_loader = BatchLoader(train_data, batch_size=args.batch_size,
+                                   shuffle=True)
+        test_loader = BatchLoader(test_data,
+                                  batch_size=args.batch_sz_eval)
+
+        best_loss = float('inf')
+        loss = float('nan')
+        metrics = {}
+        args.eval_set = None
+        for epoch in range(1, args.epochs + 1):
+            print('---')
+            self.train(train_loader, epoch, args)
+            if epoch % args.eval_freq == 0:
+                _, metrics = self.evaluate(test_loader, args)
+                loss = metrics[args.eval_metric]
+                if loss < best_loss:
+                    best_loss = loss
+                    self.save_checkpoint(
+                        args.modalities,
+                        os.path.join(args.save_dir, "best.pth"))
+                if reporter is not None:
+                    reporter(mean_loss=loss, best_loss=best_loss,
+                             training_iteration=epoch,
+                             done=bool(np.isnan(loss)), **metrics)
+            if epoch % args.save_freq == 0:
+                self.save_checkpoint(
+                    args.modalities,
+                    os.path.join(args.save_dir,
+                                 "epoch_{}.pth".format(epoch)))
+        self.save_checkpoint(args.modalities,
+                             os.path.join(args.save_dir, "last.pth"))
+        self.save_params(args)
+        if reporter is not None:
+            reporter(mean_loss=loss, best_loss=best_loss,
+                     training_iteration=args.epochs, done=True, **metrics)
+
+    def run(self, args):
+        if args.evaluate:
+            self.run_eval(args)
+            return
+        if args.find_best:
+            self.run_find(args)
+            return
+        self.run_train(args)
+
+    @classmethod
+    def tune(cls, config, reporter):
+        """Trainable adapter for experiment orchestration
+        (trainer.py:570-579)."""
+        args = cls.parser.parse_args([])
+        vars(args).update(config)
+        trainer = cls(args)
+        trainer.run_train(args, reporter)
