@@ -414,7 +414,9 @@ def func_delete(batch_in, del_func, lengths=None, modalities=None):
         t_max, b_dim = batch_in[m].shape[:2]
         if lengths is None:
             lengths = [t_max] * b_dim
-        for b in range(b_dim):
+        # Ghost columns appended by batch padding (loader.py) have no
+        # length entry — they are all-NaN already, skip them.
+        for b in range(min(b_dim, len(lengths))):
             del_idx = del_func(lengths[b])
             batch_out[m][del_idx, b] = float("nan")
     return batch_out

@@ -39,11 +39,10 @@ class Codec:
 def mlp_gaussian_codec(in_dim, out_dim, h_dim, min_std=1e-3):
     """Default Gaussian MLP codec (common.py:25-41)."""
     def init(key):
-        return tnn.gaussian_mlp_init(key, in_dim, out_dim, h_dim,
-                                     min_std), {}
+        return tnn.gaussian_mlp_init(key, in_dim, out_dim, h_dim), {}
 
     def apply(params, state, x, train):
-        return tnn.gaussian_mlp_apply(params, x), state
+        return tnn.gaussian_mlp_apply(params, x, min_std), state
     return Codec(init, apply)
 
 
@@ -63,14 +62,14 @@ def embed_gaussian_codec(num_embeddings, z_dim, h_dim, min_std=1e-3):
     def init(key):
         k1, k2 = jax.random.split(key)
         return {"embed": tnn.embedding_init(k1, num_embeddings, h_dim),
-                "head": tnn.gaussian_mlp_init(k2, h_dim, z_dim, h_dim,
-                                              min_std)}, {}
+                "head": tnn.gaussian_mlp_init(k2, h_dim, z_dim,
+                                              h_dim)}, {}
 
     def apply(params, state, x, train):
         # x: (N, 1) float-encoded labels already zero-filled + int-cast
         idx = x.reshape(x.shape[0]).astype(jnp.int32)
         h = jax.nn.relu(tnn.embedding_apply(params["embed"], idx))
-        return tnn.gaussian_mlp_apply(params["head"], h), state
+        return tnn.gaussian_mlp_apply(params["head"], h, min_std), state
     return Codec(init, apply)
 
 

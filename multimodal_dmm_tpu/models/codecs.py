@@ -209,3 +209,86 @@ def audio_decoder_apply(params, state, meta, z, train):
     probs = jax.nn.sigmoid(h)
     probs = jnp.transpose(probs, (0, 2, 1))  # → NCW
     return (probs,), {"bns": new_bns}
+
+
+# ---------------------------------------------------------------------------
+# Codec wrappers: uniform init/apply interface over the conv stacks
+# ---------------------------------------------------------------------------
+
+from .base import Codec  # noqa: E402
+
+
+def image_encoder_codec(z_dim, gauss_out=True, img_size=64, n_channels=3,
+                        n_kernels=64, n_layers=3):
+    """ImageEncoder as a Codec; `.feat_dim` exposed for DKS feature mode
+    (reference: models/dks.py:101-106 reads enc.feat_dim)."""
+    feat_size = img_size // 2 ** n_layers
+    feat_dim = feat_size ** 2 * n_kernels
+
+    def init(key):
+        p, s, meta = image_encoder_init(key, z_dim, gauss_out, img_size,
+                                        n_channels, n_kernels, n_layers)
+        init.meta = meta
+        return p, s
+
+    def apply(params, state, x, train):
+        meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
+                "n_layers": n_layers}
+        return image_encoder_apply(params, state, meta, x, train)
+
+    codec = Codec(init, apply)
+    codec.feat_dim = feat_dim
+    return codec
+
+
+def image_decoder_codec(z_dim, img_size=64, n_channels=3, n_kernels=64,
+                        n_layers=3):
+    feat_size = img_size // 2 ** n_layers
+
+    def init(key):
+        p, s, _ = image_decoder_init(key, z_dim, img_size, n_channels,
+                                     n_kernels, n_layers)
+        return p, s
+
+    def apply(params, state, z, train):
+        meta = {"feat_shape": (n_kernels, feat_size, feat_size),
+                "n_layers": n_layers}
+        return image_decoder_apply(params, state, meta, z, train)
+
+    return Codec(init, apply)
+
+
+def audio_encoder_codec(z_dim, gauss_out=True, n_freqs=1281, n_frames=5,
+                        n_kernels=16, n_layers=3):
+    feat_size = (n_freqs - 1) // 2 ** n_layers + 1
+    feat_dim = feat_size * n_kernels
+
+    def init(key):
+        p, s, _ = audio_encoder_init(key, z_dim, gauss_out, n_freqs,
+                                     n_frames, n_kernels, n_layers)
+        return p, s
+
+    def apply(params, state, x, train):
+        meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
+                "n_layers": n_layers}
+        return audio_encoder_apply(params, state, meta, x, train)
+
+    codec = Codec(init, apply)
+    codec.feat_dim = feat_dim
+    return codec
+
+
+def audio_decoder_codec(z_dim, n_freqs=1281, n_frames=5, n_kernels=16,
+                        n_layers=3):
+    feat_size = (n_freqs - 1) // 2 ** n_layers + 1
+
+    def init(key):
+        p, s, _ = audio_decoder_init(key, z_dim, n_freqs, n_frames,
+                                     n_kernels, n_layers)
+        return p, s
+
+    def apply(params, state, z, train):
+        meta = {"feat_shape": (n_kernels, feat_size), "n_layers": n_layers}
+        return audio_decoder_apply(params, state, meta, z, train)
+
+    return Codec(init, apply)

@@ -157,7 +157,8 @@ class MultiDMM(MultiDGTS):
         """p(z_next|z) from particles z: (K, B, D) → (B, D) params
         (dmm.py:214-258): PoE(global prior, GTF(z_k)) per particle, then
         moment-matched average over particles."""
-        q_mean, q_std = tnn.gtf_apply(params["trans"][direction], z)
+        q_mean, q_std = tnn.gtf_apply(params["trans"][direction], z,
+                                      self.min_std)
         glb_mean_b = jnp.broadcast_to(glb_mean, q_mean.shape)
         glb_std_b = jnp.broadcast_to(glb_std, q_std.shape)
         pp_mean, pp_std = product_of_experts(

@@ -64,14 +64,13 @@ def gaussian_mlp_init(key, in_dim, out_dim, h_dim, min_std=1e-3):
         "in_to_h": linear_init(k1, in_dim, h_dim),
         "h_to_mean": linear_init(k2, h_dim, out_dim),
         "h_to_std": linear_init(k3, h_dim, out_dim),
-        "min_std": min_std,
     }
 
 
-def gaussian_mlp_apply(p, x):
+def gaussian_mlp_apply(p, x, min_std=1e-3):
     h = jax.nn.relu(linear_apply(p["in_to_h"], x))
     mean = linear_apply(p["h_to_mean"], h)
-    std = jax.nn.softplus(linear_apply(p["h_to_std"], h)) + p["min_std"]
+    std = jax.nn.softplus(linear_apply(p["h_to_std"], h)) + min_std
     return mean, std
 
 
@@ -100,18 +99,17 @@ def gtf_init(key, z_dim, h_dim, min_std=0.0):
         "nonlin_1": linear_init(k4, z_dim, h_dim),
         "nonlin_2": linear_init(k5, h_dim, z_dim),
         "z_to_std": linear_init(k6, z_dim, z_dim),
-        "min_std": min_std,
     }
 
 
-def gtf_apply(p, z):
+def gtf_apply(p, z, min_std=0.0):
     gate = jax.nn.sigmoid(linear_apply(
         p["gate_2"], jax.nn.relu(linear_apply(p["gate_1"], z))))
     z_lin = linear_apply(p["z_lin"], z)
     z_nonlin = linear_apply(
         p["nonlin_2"], jax.nn.relu(linear_apply(p["nonlin_1"], z)))
     z_std = jax.nn.softplus(linear_apply(p["z_to_std"], z_nonlin)) \
-        + p["min_std"]
+        + min_std
     z_mean = (1 - gate) * z_lin + gate * z_nonlin
     return z_mean, z_std
 
@@ -136,7 +134,7 @@ def gru_init(key, in_dim, h_dim, n_layers=1, bias=True):
             "b_hh": _uniform(k4, (3 * h_dim,), bound) if bias
             else jnp.zeros((3 * h_dim,)),
         })
-    return {"layers": layers, "h_dim": h_dim}
+    return {"layers": layers}
 
 
 def gru_cell(p_layer, x, h):

@@ -42,14 +42,14 @@ def lin(p, x):
 def np_gaussian_mlp(p, x):
     h = relu(lin(p["in_to_h"], x))
     return lin(p["h_to_mean"], h), softplus(lin(p["h_to_std"], h)) \
-        + p["min_std"]
+        + MIN_STD
 
 
 def np_gtf(p, z):
     gate = sigmoid(lin(p["gate_2"], relu(lin(p["gate_1"], z))))
     z_lin = lin(p["z_lin"], z)
     z_nonlin = lin(p["nonlin_2"], relu(lin(p["nonlin_1"], z)))
-    z_std = softplus(lin(p["z_to_std"], z_nonlin)) + p["min_std"]
+    z_std = softplus(lin(p["z_to_std"], z_nonlin)) + MIN_STD
     return (1 - gate) * z_lin + gate * z_nonlin, z_std
 
 

@@ -29,7 +29,7 @@ def test_gru_matches_torch():
     torch.manual_seed(1)
     in_dim, h_dim, layers = 6, 8, 2
     gru = nn.GRU(in_dim, h_dim, layers)
-    p = {"layers": [], "h_dim": h_dim}
+    p = {"layers": []}
     for l in range(layers):
         p["layers"].append({
             "w_ih": jnp.array(getattr(gru, f"weight_ih_l{l}").detach().numpy().T),
@@ -135,8 +135,8 @@ def test_batchnorm_matches_torch_train_and_eval():
 
 def test_gaussian_mlp_shapes_and_min_std():
     key = jax.random.PRNGKey(0)
-    p = tnn.gaussian_mlp_init(key, 4, 3, 16, min_std=1e-3)
-    mean, std = tnn.gaussian_mlp_apply(p, jnp.zeros((10, 4)))
+    p = tnn.gaussian_mlp_init(key, 4, 3, 16)
+    mean, std = tnn.gaussian_mlp_apply(p, jnp.zeros((10, 4)), min_std=1e-3)
     assert mean.shape == (10, 3) and std.shape == (10, 3)
     assert np.all(np.asarray(std) >= 1e-3)
 
@@ -144,9 +144,9 @@ def test_gaussian_mlp_shapes_and_min_std():
 def test_gtf_gate_interpolation():
     """GTF mean must interpolate between linear and nonlinear paths."""
     key = jax.random.PRNGKey(1)
-    p = tnn.gtf_init(key, 5, 20, min_std=1e-3)
+    p = tnn.gtf_init(key, 5, 20)
     z = jax.random.normal(jax.random.PRNGKey(2), (7, 5))
-    mean, std = tnn.gtf_apply(p, z)
+    mean, std = tnn.gtf_apply(p, z, min_std=1e-3)
     assert mean.shape == (7, 5) and std.shape == (7, 5)
     assert np.all(np.asarray(std) >= 1e-3)
     # Manual recomputation
