@@ -1,0 +1,123 @@
+"""Benchmark: Weizmann-shaped BFVI training throughput (seqs/sec/chip).
+
+Measures the full canonical Weizmann training step (BASELINE.md: batch 25,
+25-frame chunks, z=h=256, video 3x64x64 Bernoulli + person/action
+categorical; objective = 2 prior-matching rollouts + 4 filtering forwards
++ 4 smoothing forwards with 25 particles + backward + Adam) on synthetic
+data, end to end under one jit.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "seqs/sec", "vs_baseline": N}
+
+vs_baseline is measured against the PyTorch-CPU implementation in
+benchmarks/torch_baseline.py (result cached in
+benchmarks/baseline_result.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodal_dmm_tpu.models.dmm import MultiDMM
+    from multimodal_dmm_tpu.models.codecs import (image_encoder_codec,
+                                                  image_decoder_codec)
+
+    T, B, Z = 25, 25, 256
+    log("bench device:", jax.devices()[0])
+
+    model = MultiDMM(
+        ["video", "person", "action"],
+        [(3, 64, 64), 9, 10],
+        dists=["Bernoulli", "Categorical", "Categorical"],
+        encoders={"video": image_encoder_codec(Z, gauss_out=True)},
+        decoders={"video": image_decoder_codec(Z)},
+        z_dim=Z, h_dim=Z)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    optimizer = optax.chain(optax.add_decayed_weights(1e-4),
+                            optax.adam(5e-4))
+    opt_state = optimizer.init(params)
+    rec_mults = {"video": 1.0, "person": 10.0, "action": 10.0}
+
+    rng = np.random.RandomState(0)
+    video = rng.rand(T, B, 3, 64, 64).astype(np.float32)
+    video[rng.rand(T, B) < 0.1] = np.nan
+    inputs = {
+        "video": jnp.asarray(video),
+        "person": jnp.asarray(
+            rng.randint(0, 9, (T, B, 1)).astype(np.float32)),
+        "action": jnp.asarray(
+            rng.randint(0, 10, (T, B, 1)).astype(np.float32)),
+    }
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def train_step(params, state, opt_state, inputs, kld_mult, key):
+        def loss_fn(p):
+            loss, new_state = model.step(
+                p, state, inputs, mask, kld_mult, rec_mults, key,
+                targets=inputs, train=True)
+            return loss / (T * B), (loss, new_state)
+
+        grads, (loss, new_state) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_state, new_opt,
+                loss)
+
+    step = jax.jit(train_step, donate_argnums=(0, 2))
+
+    key = jax.random.PRNGKey(1)
+    log("compiling...")
+    t0 = time.time()
+    params, state, opt_state, loss = step(params, state, opt_state,
+                                          inputs, jnp.float32(1.0), key)
+    jax.block_until_ready(loss)
+    log(f"compile+first step: {time.time() - t0:.1f}s "
+        f"loss={float(loss):.1f}")
+
+    times = []
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        params, state, opt_state, loss = step(
+            params, state, opt_state, inputs, jnp.float32(1.0), sub)
+        jax.block_until_ready(loss)
+        times.append(time.time() - t0)
+        log(f"step {i}: {times[-1]*1000:.1f}ms")
+
+    med = sorted(times)[len(times) // 2]
+    seqs_per_sec = B / med
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "baseline_result.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("seqs_per_sec"):
+            vs_baseline = seqs_per_sec / base["seqs_per_sec"]
+
+    print(json.dumps({
+        "metric": "weizmann_bfvi_train_seqs_per_sec_per_chip",
+        "value": round(seqs_per_sec, 3),
+        "unit": "seqs/sec",
+        "vs_baseline": (round(vs_baseline, 2)
+                        if vs_baseline is not None else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()

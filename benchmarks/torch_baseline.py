@@ -313,7 +313,8 @@ def main():
         times.append(dt)
         print(f"step {i}: {dt:.2f}s loss={float(loss):.1f}", flush=True)
 
-    med = sorted(times)[len(times) // 2]
+    steady = times[1:] if len(times) > 1 else times  # drop warmup step
+    med = sorted(steady)[len(steady) // 2]
     result = {
         "metric": "weizmann_bfvi_train_seqs_per_sec",
         "seqs_per_sec": B / med,

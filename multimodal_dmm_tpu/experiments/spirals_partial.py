@@ -1,0 +1,27 @@
+"""Spirals under uniform random deletion 0%-90% × seeds.
+
+Mirrors /root/reference/experiments/spirals_partial.py.
+"""
+
+from ..apps.spirals import SpiralsTrainer
+from ._partial_semisup import make_parser, run_grid, analyze_best3
+
+parser = make_parser("spirals_partial")
+
+
+def run(args):
+    run_grid(args, SpiralsTrainer, "spirals_tune",
+             base_config={"lr": 5e-3},
+             corrupt_grid=[{'uniform': i / 10} for i in range(10)])
+
+
+def analyze(args):
+    return analyze_best3(args, 'config:corrupt:uniform',
+                         ['mse', 'rec_loss'])
+
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    if not args.analyze:
+        run(args)
+    analyze(args)

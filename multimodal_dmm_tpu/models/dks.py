@@ -280,3 +280,34 @@ class MultiDKS(MultiDGTS):
         recon, _ = self._decode(params["dec"], state["dec"],
                                 z_samples, train=False)
         return recon
+
+
+if __name__ == "__main__":
+    # Smoke test mirroring /root/reference/models/dks.py:344-370.
+    import argparse
+    import jax as _jax
+    from ..data.spirals import SpiralsDataset
+    from ..data.multiseq import seq_collate_dict
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--dir', type=str, default="./data/spirals")
+    parser.add_argument('--subset', type=str, default="train")
+    args = parser.parse_args()
+
+    print("Loading data...")
+    dataset = SpiralsDataset(['spiral-x', 'spiral-y'], args.dir,
+                             args.subset, truncate=True,
+                             item_as_dict=True)
+    print("Building model...")
+    model = MultiDKS(['spiral-x', 'spiral-y'], [1, 1])
+    params, state = model.init(_jax.random.PRNGKey(0))
+    print("Passing a sample through the model...")
+    data, mask, lengths, order, _ = seq_collate_dict([dataset[0]])
+    inputs = {m: jnp.asarray(v) for m, v in data.items()
+              if m in model.modalities}
+    (infer, prior, recon), _ = model.forward(
+        params, state, inputs, rng=_jax.random.PRNGKey(1), sample=False)
+    print("Predicted:")
+    for x, y in zip(np.asarray(recon['spiral-x'][0]).ravel(),
+                    np.asarray(recon['spiral-y'][0]).ravel()):
+        print("{:+0.3f}, {:+0.3f}".format(x, y))

@@ -195,3 +195,36 @@ class MultiVRNN(MultiDGTS):
 
         _, rec_seq = jax.lax.scan(cell, h0, (t_idx, keys))
         return {m: rec_seq[i] for i, m in enumerate(mods)}
+
+
+if __name__ == "__main__":
+    # Smoke test mirroring /root/reference/models/vrnn.py:282-309 (with
+    # the reference's construction bug fixed, so this actually runs).
+    import argparse
+    import numpy as np
+    import jax as _jax
+    from ..data.spirals import SpiralsDataset
+    from ..data.multiseq import seq_collate_dict
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--dir', type=str, default="./data/spirals")
+    parser.add_argument('--subset', type=str, default="train")
+    args = parser.parse_args()
+
+    print("Loading data...")
+    dataset = SpiralsDataset(['spiral-x', 'spiral-y'], args.dir,
+                             args.subset, base_rate=2.0, truncate=True,
+                             item_as_dict=True)
+    print("Building model...")
+    model = MultiVRNN(['spiral-x', 'spiral-y'], [1, 1])
+    params, state = model.init(_jax.random.PRNGKey(0))
+    print("Passing a sample through the model...")
+    data, mask, lengths, order, _ = seq_collate_dict([dataset[0]])
+    inputs = {m: jnp.asarray(v) for m, v in data.items()
+              if m in model.modalities}
+    (infer, prior, recon), _ = model.forward(
+        params, state, inputs, rng=_jax.random.PRNGKey(1), sample=False)
+    print("Predicted:")
+    for x, y in zip(np.asarray(recon['spiral-x'][0]).ravel(),
+                    np.asarray(recon['spiral-y'][0]).ravel()):
+        print("{:+0.3f}, {:+0.3f}".format(x, y))

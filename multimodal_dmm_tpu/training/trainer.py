@@ -104,7 +104,12 @@ def _build_parser():
     parser.add_argument('--data_dir', type=str, metavar='DIR')
     parser.add_argument('--save_dir', type=str, metavar='DIR')
     parser.add_argument('--visualize', action='store_true', default=False)
-    parser.add_argument('--gradients', action='store_true', default=False)
+    parser.add_argument('--gradients', action='store_true', default=False,
+                        help='plot per-layer gradient flow each batch')
+    parser.add_argument('--profile_dir', type=str, default=None,
+                        metavar='DIR',
+                        help='capture a jax.profiler trace to this dir '
+                             'and print per-step timing summaries')
     parser.add_argument('--device', type=str, default='tpu',
                         help='jax platform to use (tpu/cpu)')
     parser.add_argument('--anomaly_check', action='store_true',
@@ -199,7 +204,7 @@ class Trainer:
     # jitted step builders
     # ------------------------------------------------------------------
 
-    def _make_train_step(self, rec_mults, train_args):
+    def _make_train_step(self, rec_mults, train_args, with_grads=False):
         model, optimizer = self.model, self.optimizer
         train_args = dict(train_args)
 
@@ -215,16 +220,21 @@ class Trainer:
                 loss_fn, has_aux=True)(params)
             updates, new_opt = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            if with_grads:
+                return new_params, new_state, new_opt, loss, grads
             return new_params, new_state, new_opt, loss
 
-        return jax.jit(train_step, donate_argnums=(0, 2))
+        donate = () if with_grads else (0, 2)
+        return jax.jit(train_step, donate_argnums=donate)
 
     def _get_train_step(self, args):
         key = (tuple(sorted(args.rec_mults.items())),
-               tuple(sorted(args.train_args.items())))
+               tuple(sorted(args.train_args.items())),
+               bool(args.gradients))
         if self._train_step is None or self._train_step_key != key:
             self._train_step = self._make_train_step(
-                dict(args.rec_mults), dict(args.train_args))
+                dict(args.rec_mults), dict(args.train_args),
+                with_grads=args.gradients)
             self._train_step_key = key
         return self._train_step
 
@@ -250,10 +260,13 @@ class Trainer:
 
     def train(self, loader, epoch, args):
         """One epoch of batched gradient descent (trainer.py:218-262)."""
+        from .diagnostics import StepTimer, plot_grad_flow
+
         loss_sum, data_num = 0.0, 0
         kld_mult = 0.0
         step_fn = self._get_train_step(args)
         n_batches = len(loader)
+        timer = StepTimer()
         for b_num, (targets, mask, lengths, _, _) in enumerate(loader):
             b_tot = b_num + epoch * n_batches
             kld_mult = anneal(0.0, args.kld_mult, b_tot,
@@ -263,14 +276,27 @@ class Trainer:
             dev_inputs = self._to_device(inputs)
             dev_targets = self._to_device(targets)
             self.rng, sub = jax.random.split(self.rng)
-            self.params, self.state, self.opt_state, b_loss = step_fn(
+            timer.start()
+            out = step_fn(
                 self.params, self.state, self.opt_state,
                 dev_inputs, dev_targets, jnp.asarray(mask),
                 jnp.float32(kld_mult), jnp.float32(sum(lengths)), sub)
-            loss_sum += float(b_loss)
+            if args.gradients:
+                self.params, self.state, self.opt_state, b_loss, \
+                    grads = out
+                plot_grad_flow(
+                    grads, save_path=os.path.join(args.save_dir,
+                                                  'grad_flow.pdf'))
+            else:
+                self.params, self.state, self.opt_state, b_loss = out
+            b_loss = float(b_loss)  # blocks until device completes
+            timer.stop()
+            loss_sum += b_loss
             data_num += sum(lengths)
             print('Batch: {:5d}\tLoss: {:10.1f}'.format(
                 b_num, loss_sum / data_num))
+        if args.profile_dir:
+            print('Step timing:', timer.summary())
         loss = loss_sum / data_num
         print('---')
         print('Epoch: {}\tLoss: {:10.1f}\tKLD-Mult: {:0.3f}'.format(
@@ -492,9 +518,16 @@ class Trainer:
         loss = float('nan')
         metrics = {}
         args.eval_set = None
+        from .diagnostics import profile_ctx
+        profile_epochs = {2} if getattr(args, 'profile_dir', None) \
+            else set()
         for epoch in range(1, args.epochs + 1):
             print('---')
-            self.train(train_loader, epoch, args)
+            if epoch in profile_epochs:
+                with profile_ctx(args.profile_dir):
+                    self.train(train_loader, epoch, args)
+            else:
+                self.train(train_loader, epoch, args)
             if epoch % args.eval_freq == 0:
                 _, metrics = self.evaluate(test_loader, args)
                 loss = metrics[args.eval_metric]

@@ -1,0 +1,111 @@
+"""Experiment-orchestration tests: grid expansion, trial runner disk
+contract, analysis layer, and a micro spirals_suite end-to-end."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodal_dmm_tpu.experiments import tune
+from multimodal_dmm_tpu.experiments.analysis import ExperimentAnalysis
+
+
+def test_grid_expansion():
+    config = {"a": 1, "b": tune.grid_search([1, 2, 3]),
+              "c": tune.grid_search(["x", "y"])}
+    out = tune.expand_config(config)
+    assert len(out) == 6
+    assert all(c["a"] == 1 for c in out)
+    assert {(c["b"], c["c"]) for c in out} == {
+        (b, c) for b in (1, 2, 3) for c in ("x", "y")}
+
+
+def test_trial_runner_disk_contract(tmp_path):
+    def trainable(config, reporter):
+        for it in range(3):
+            reporter(mean_loss=10.0 - it - config["x"],
+                     best_loss=10.0 - it,
+                     training_iteration=it + 1, done=(it == 2),
+                     mse=1.0 / (it + 1))
+
+    checkpoints = tune.run(
+        trainable, name="mini_exp",
+        config={"x": tune.grid_search([0, 1])},
+        local_dir=str(tmp_path))
+    assert len(checkpoints) == 2
+    exp_dir = tmp_path / "mini_exp"
+    state_files = list(exp_dir.glob("experiment_state*.json"))
+    assert state_files
+    state = json.loads(state_files[0].read_text())
+    assert len(state["checkpoints"]) == 2
+
+    ea = ExperimentAnalysis(str(exp_dir))
+    df = ea.dataframe()
+    assert len(df) == 2
+    assert "x" in df.columns  # flattened config
+    trial_df = ea.trial_dataframe(df.iloc[0]["trial_id"])
+    assert list(trial_df["training_iteration"]) == [1, 2, 3]
+    assert trial_df.mean_loss.idxmin() == 2
+
+
+def test_trial_error_does_not_kill_sweep(tmp_path):
+    def trainable(config, reporter):
+        if config["x"] == 1:
+            raise RuntimeError("boom")
+        reporter(mean_loss=1.0, training_iteration=1, done=True)
+
+    checkpoints = tune.run(
+        trainable, name="err_exp",
+        config={"x": tune.grid_search([0, 1, 2])},
+        local_dir=str(tmp_path))
+    statuses = [c["status"] for c in checkpoints]
+    assert statuses == ["TERMINATED", "ERROR", "TERMINATED"]
+
+
+@pytest.mark.slow
+def test_spirals_suite_micro(tmp_path, monkeypatch):
+    """Micro end-to-end: 2 methods × 1 seed, 1 epoch, tiny data; then
+    the full analyze() path with the 5-task evaluation suite."""
+    from multimodal_dmm_tpu.data.spirals import gen_dataset
+    from multimodal_dmm_tpu.experiments import spirals_suite
+
+    data_dir = str(tmp_path / "data")
+    gen_dataset(n_examples=12, n_train=8, timesteps=20,
+                data_dir=data_dir)
+
+    args = spirals_suite.parser.parse_args([
+        "--local_dir", str(tmp_path), "--exp_name", "suite_micro",
+        "--n_repeats", "1",
+        "--config",
+        "{data_dir: %s, epochs: 1, eval_freq: 1, save_freq: 1, "
+        "batch_size: 4, device: cpu}" % data_dir,
+    ])
+    # Restrict to 2 methods for speed
+    cfg = {
+        "data_dir": data_dir,
+        "lr": 5e-3,
+        "epochs": 1, "eval_freq": 1, "save_freq": 1, "batch_size": 4,
+        "device": "cpu",
+        "seed": tune.grid_search([0]),
+        "method": tune.grid_search(["bfvi", "f-mask"]),
+        "eval_args": {"flt_particles": 5},
+    }
+    tune.register_trainable(
+        "spirals_tune_micro",
+        lambda c, r: spirals_suite.SpiralsTrainer.tune(c, r))
+    tune.run("spirals_tune_micro", name="suite_micro", config=cfg,
+             local_dir=str(tmp_path))
+
+    spirals_suite.analyze(args)
+    exp_dir = tmp_path / "suite_micro"
+    for fn in ("run_results.csv", "task_results.csv",
+               "task_results_std.csv"):
+        assert (exp_dir / fn).exists(), fn
+    task_df = pd.read_csv(exp_dir / "task_results.csv")
+    assert set(task_df.columns) >= {"method", "recon", "half", "fwd",
+                                    "bwd", "condgen"}
+    assert len(task_df) == 2
+    assert np.isfinite(task_df[["recon", "half", "fwd", "bwd",
+                                "condgen"]].values).all()
