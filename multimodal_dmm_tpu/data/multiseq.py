@@ -284,9 +284,14 @@ class MultiseqDataset:
 
 def resample_to_base(d, ratio):
     """Resample sequence to the base rate: time-average to downsample,
-    repeat to upsample (multiseq.py:109-123)."""
+    repeat to upsample (multiseq.py:109-123). Downsampling uses the
+    native C++ kernel when available."""
     if ratio > 1:
         ratio = int(ratio)
+        from . import _native
+        out = _native.resample_avg(np.asarray(d, dtype=float), ratio)
+        if out is not None:
+            return out
         end = ratio * (len(d) // ratio)
         avg = np.mean(d[:end].reshape(-1, ratio, *d.shape[1:]), 1)
         if end < len(d):
@@ -330,11 +335,16 @@ def mask_to_extent(mask, time_first=True):
 
 def pad_and_merge(sequences, max_len=None):
     """NaN-pad unequal-length sequences into a (T, B, ...) float32 batch
-    (multiseq.py:341-353)."""
+    (multiseq.py:341-353). Uses the native C++ kernel when available."""
     dims = sequences[0].shape[1:]
     lengths = [len(seq) for seq in sequences]
     if max_len is None:
         max_len = max(lengths)
+    from . import _native
+    out = _native.pad_and_merge_f32(
+        [np.asarray(s) for s in sequences], max_len)
+    if out is not None:
+        return out
     padded = np.full((max_len, len(sequences)) + tuple(dims), np.nan,
                      dtype=np.float32)
     for i, seq in enumerate(sequences):

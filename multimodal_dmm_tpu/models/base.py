@@ -111,6 +111,11 @@ class MultiDGTS:
         if not uni_loss:
             return loss, state
         for m in self.modalities:
+            # The reference iterates all modalities (dgts.py:126) but is
+            # only ever called with full input dicts; skip absent ones
+            # so modality-subset training is well-defined.
+            if m not in inputs:
+                continue
             rng, sub = jax.random.split(rng)
             (infer, prior, recon), state = self.forward(
                 params, state, {m: inputs[m]}, rng=sub, train=train,

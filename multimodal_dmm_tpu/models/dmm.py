@@ -37,7 +37,9 @@ class MultiDMM(MultiDGTS):
 
     def __init__(self, modalities, dims, dists=None,
                  encoders=None, decoders=None, h_dim=32, z_dim=32,
-                 z0_mean=0.0, z0_std=1.0, min_std=1e-3):
+                 z0_mean=0.0, z0_std=1.0, min_std=1e-3,
+                 use_pallas="auto"):
+        self.use_pallas = use_pallas
         self.modalities = list(modalities)
         self.n_mods = len(self.modalities)
         self.dims = dict(zip(self.modalities, dims))
@@ -153,6 +155,17 @@ class MultiDMM(MultiDGTS):
 
     # -- latent dynamics ------------------------------------------------------
 
+    def _pallas_enabled(self, train):
+        """Pallas cell on gradient-free paths, TPU backend, tiled dims."""
+        if self.use_pallas is False or train:
+            return False
+        if self.z_dim % 128 != 0:
+            return False
+        try:
+            return jax.default_backend() not in ("cpu",)
+        except Exception:
+            return False
+
     def _z_next(self, params, z, direction, glb_mean, glb_std):
         """p(z_next|z) from particles z: (K, B, D) → (B, D) params
         (dmm.py:214-258): PoE(global prior, GTF(z_k)) per particle, then
@@ -168,11 +181,16 @@ class MultiDMM(MultiDGTS):
 
     def z_filter(self, params, z_mean, z_std, z_masks, rng,
                  direction="fwd", sample=True, n_particles=1,
-                 sample_init=False):
+                 sample_init=False, use_pallas=False):
         """Filtering scan (dmm.py:319-412).
 
         z_mean/z_std: (M', T, B, D); z_masks: (M', T, B). Returns
         (infer, prior, samples) in original time order.
+
+        ``use_pallas`` fuses the PoE + particle sampling of each step
+        into one VMEM-resident TPU kernel (gradient-free paths only —
+        the kernel has no autodiff rule, so training keeps the XLA
+        composite that `jax.grad` differentiates).
         """
         n_exp, t_max, b_dim, z_dim = z_mean.shape
         glb_mean, glb_std = self.prior_params(params, (b_dim, self.z_dim))
@@ -197,6 +215,16 @@ class MultiDMM(MultiDGTS):
                                   glb_mean, glb_std)
             prior_mean_t = jnp.where(first, glb_mean, pm)
             prior_std_t = jnp.where(first, glb_std, ps)
+            if do_sample and use_pallas:
+                # Fused PoE + sampling kernel (same RNG stream).
+                from ..ops.pallas.poe_cell import poe_sample_cell
+                eps = jax.random.normal(
+                    key, (n_particles, b_dim, z_dim))
+                infer_mean_t, infer_std_t, z_t, sample_out = \
+                    poe_sample_cell(prior_mean_t, prior_std_t, om, os,
+                                    omask.astype(bool), eps)
+                return z_t, (prior_mean_t, prior_std_t,
+                             infer_mean_t, infer_std_t, sample_out)
             # PoE of [cond prior; per-expert observations] (dmm.py:387-393).
             all_mean = jnp.concatenate([prior_mean_t[None], om], axis=0)
             all_std = jnp.concatenate([prior_std_t[None], os], axis=0)
@@ -273,6 +301,7 @@ class MultiDMM(MultiDGTS):
         k_enc, k_flt, k_smt, k_dec = jax.random.split(rng, 4)
         (obs_mean, obs_std, obs_mask), enc_state = self.encode(
             params, state["enc"], full_inputs, train)
+        use_pallas = self._pallas_enabled(train)
 
         # Filtering pass.
         direction = "fwd" if mode in ("ffilter", "bsmooth") else "bwd"
@@ -280,7 +309,8 @@ class MultiDMM(MultiDGTS):
         infer, prior, z_samples = self.z_filter(
             params, obs_mean, obs_std, obs_mask.astype(jnp.float32),
             k_flt, direction=direction, sample=sample,
-            n_particles=flt_particles, sample_init=flt_init)
+            n_particles=flt_particles, sample_init=flt_init,
+            use_pallas=use_pallas)
 
         # Smoothing pass: append filter-prior + inverse-global-prior
         # experts (dmm.py:473-489).
@@ -302,7 +332,8 @@ class MultiDMM(MultiDGTS):
                 cat(cat(obs_std, flt_std), inv_std),
                 cat(cat(obs_mask.astype(jnp.float32), flt_mask), inv_mask),
                 k_smt, direction=direction, sample=sample,
-                n_particles=smt_particles, sample_init=sample_init)
+                n_particles=smt_particles, sample_init=sample_init,
+                use_pallas=use_pallas)
 
         recon, dec_state = self.decode(params, state["dec"], z_samples,
                                        train)
@@ -328,11 +359,23 @@ class MultiDMM(MultiDGTS):
         return losses.kld_gauss(glb_mean, glb_std, nxt_mean, nxt_std)
 
     def step(self, params, state, inputs, mask, kld_mult, rec_mults, rng,
-             targets=None, uni_loss=True, train=True, **kwargs):
+             targets=None, uni_loss=True, train=True, fused=True,
+             **kwargs):
         """Bidirectional training objective (dmm.py:503-554):
         match_mult·kld_mult·Σmask·(fwd+bwd prior matching)
         + f_mult·ELBO(bfilter) + s_mult·ELBO(fsmooth, 25 filter
-        particles)."""
+        particles).
+
+        ``fused=True`` (default) computes the joint + per-modality
+        unimodal ELBOs of each mode as ONE forward over a stacked
+        variant axis: the (1 + n_mods) forwards of the reference differ
+        only in their expert-mask patterns, so encoding happens once and
+        the filtering scans run with a (1 + n_mods)·B batch — identical
+        math (the expert masks make excluded modalities drop out of the
+        PoE exactly as absent inputs do), far better MXU utilization.
+        ``fused=False`` reproduces the reference's loop of separate
+        forwards (used by parity tests).
+        """
         f_mode = kwargs.pop("f_mode", "bfilter")
         s_mode = kwargs.pop("s_mode", "fsmooth")
         f_mult = kwargs.pop("f_mult", 0.5)
@@ -343,6 +386,7 @@ class MultiDMM(MultiDGTS):
         kwargs.pop("mode", None)
         flt_particles = kwargs.pop("flt_particles", 1)
         kwargs.pop("smt_particles", None)
+        sample = kwargs.pop("sample", True)
 
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         loss = 0.0
@@ -352,17 +396,138 @@ class MultiDMM(MultiDGTS):
                      self.kld_prior(params, k1, match_particles, "fwd"))
             loss += (match_mult * kld_mult * msum *
                      self.kld_prior(params, k2, match_particles, "bwd"))
-        f_loss, state = MultiDGTS.step(
-            self, params, state, inputs, mask, kld_mult, rec_mults, k3,
-            targets=targets, uni_loss=uni_loss, train=train,
-            mode=f_mode, flt_particles=flt_particles, **kwargs)
-        loss += f_mult * f_loss
-        s_loss, state = MultiDGTS.step(
-            self, params, state, inputs, mask, kld_mult, rec_mults, k4,
-            targets=targets, uni_loss=uni_loss, train=train,
-            mode=s_mode, flt_particles=train_particles, **kwargs)
-        loss += s_mult * s_loss
-        return loss, state
+
+        if not fused:
+            f_loss, state = MultiDGTS.step(
+                self, params, state, inputs, mask, kld_mult, rec_mults,
+                k3, targets=targets, uni_loss=uni_loss, train=train,
+                mode=f_mode, flt_particles=flt_particles, sample=sample,
+                **kwargs)
+            loss += f_mult * f_loss
+            s_loss, state = MultiDGTS.step(
+                self, params, state, inputs, mask, kld_mult, rec_mults,
+                k4, targets=targets, uni_loss=uni_loss, train=train,
+                mode=s_mode, flt_particles=train_particles,
+                sample=sample, **kwargs)
+            loss += s_mult * s_loss
+            return loss, state
+
+        # ---- fused path -------------------------------------------------
+        inputs = {m: inputs[m] for m in inputs if m in self.modalities}
+        if targets is None:
+            targets = inputs
+        some = inputs[list(inputs.keys())[0]]
+        t_max, b_dim = some.shape[:2]
+        full_inputs = self._nan_fill_missing(inputs, t_max, b_dim)
+        # Encode ONCE; the 2 modes × (1+n_mods) variants reuse it.
+        (obs_mean, obs_std, obs_mask), enc_state = self.encode(
+            params, state["enc"], full_inputs, train)
+        # Variant expert-presence patterns (V, M): joint row of ones
+        # (only when >1 modality, dgts.py:119) + one-hot rows for the
+        # modalities actually present in the inputs (dgts.py:126).
+        rows = []
+        if len(self.modalities) > 1:
+            rows.append(jnp.ones((self.n_mods,)))
+        if uni_loss:
+            rows += [jnp.eye(self.n_mods)[i]
+                     for i, m in enumerate(self.modalities)
+                     if m in inputs]
+        vmat = jnp.stack(rows)  # (V, M)
+
+        dec_state = state["dec"]
+        for mult, mode, fp, key in ((f_mult, f_mode, flt_particles, k3),
+                                    (s_mult, s_mode, train_particles,
+                                     k4)):
+            mode_loss, dec_state = self._fused_mode_loss(
+                params, dec_state, obs_mean, obs_std, obs_mask, vmat,
+                targets, mask, kld_mult, rec_mults, key, mode=mode,
+                sample=sample, flt_particles=fp, train=train, **kwargs)
+            loss += mult * mode_loss
+        return loss, {"enc": enc_state, "dec": dec_state}
+
+    def _fused_mode_loss(self, params, dec_state, obs_mean, obs_std,
+                         obs_mask, vmat, targets, mask, kld_mult,
+                         rec_mults, rng, mode, sample, flt_particles,
+                         smt_particles=1, sample_init=False, train=True):
+        """One inference mode's joint + unimodal losses in a single
+        forward over the stacked (V·B) variant batch."""
+        n_mods, t_max, b_dim, z_dim = obs_mean.shape
+        v_dim = vmat.shape[0]
+        vb = v_dim * b_dim
+
+        # Per-variant expert masks: (M,T,B)·(V,M) → (M,T,V,B) → (M,T,VB)
+        om = (obs_mask.astype(jnp.float32)[:, :, None, :]
+              * jnp.transpose(vmat)[:, None, :, None])
+        om = om.reshape(n_mods, t_max, vb)
+        tile = lambda x: jnp.broadcast_to(  # noqa: E731
+            x[:, :, None], (n_mods, t_max, v_dim, b_dim, z_dim)
+        ).reshape(n_mods, t_max, vb, z_dim)
+        zm, zs = tile(obs_mean), tile(obs_std)
+
+        k_flt, k_smt = jax.random.split(rng)
+        direction = "fwd" if mode in ("ffilter", "bsmooth") else "bwd"
+        flt_init = sample_init if mode in ("ffilter", "bfilter") \
+            else False
+        infer, prior, z_samples = self.z_filter(
+            params, zm, zs, om, k_flt, direction=direction,
+            sample=sample, n_particles=flt_particles,
+            sample_init=flt_init)
+        if mode in ("fsmooth", "bsmooth"):
+            direction = "fwd" if mode == "fsmooth" else "bwd"
+            glb_mean, glb_std = self.prior_params(
+                params, (t_max, vb, self.z_dim))
+            inv_mean = jnp.broadcast_to(glb_mean, (t_max, vb, z_dim))
+            inv_std = -jnp.broadcast_to(glb_std, (t_max, vb, z_dim))
+            inv_mask = jnp.ones((t_max, vb))
+            flt_mean, flt_std = prior
+            flt_mask = jnp.ones((t_max, vb)).at[-1].set(0.0)
+            cat = lambda a, b: jnp.concatenate(  # noqa: E731
+                [a, b[None]], axis=0)
+            infer, prior, z_samples = self.z_filter(
+                params, cat(cat(zm, flt_mean), inv_mean),
+                cat(cat(zs, flt_std), inv_std),
+                cat(cat(om, flt_mask), inv_mask),
+                k_smt, direction=direction, sample=sample,
+                n_particles=smt_particles, sample_init=sample_init)
+
+        recon, dec_state = self.decode(params, dec_state, z_samples,
+                                       train)
+
+        # KLD over every variant, masked by the (tiled) length mask —
+        # equals the sum of the reference's per-forward KLDs.
+        mask_v = jnp.broadcast_to(mask.astype(jnp.float32)[:, None],
+                                  (t_max, v_dim) + mask.shape[1:])
+        mask_v = mask_v.reshape((t_max, vb) + mask.shape[2:])
+        loss = kld_mult * losses.kld_gauss(
+            infer[0], infer[1], prior[0], prior[1], mask_v)
+
+        # Reconstruction: recon (T, V, B, ...) vs targets (T, 1, B, ...),
+        # each modality weighted per variant by its presence row —
+        # the joint variant scores every modality, uni_i scores only i.
+        for i, m in enumerate(self.modalities):
+            if m not in targets:
+                continue
+            mult = rec_mults.get(m, 1.0) if rec_mults else 1.0
+            if mult == 0:
+                continue
+            w = vmat[:, i]  # (V,)
+            x = targets[m][:, None]  # (T, 1, B, ...)
+            wmask = (mask.astype(jnp.float32)[:, None]
+                     * w[None, :, None, None])  # (T, V, B, 1)
+            rec = tuple(
+                r.reshape((t_max, v_dim, b_dim) + r.shape[2:])
+                for r in recon[m])
+            if self.dists[m] == "Bernoulli":
+                loss += mult * losses.nll_bernoulli(rec[0], x, wmask)
+            elif self.dists[m] == "Categorical":
+                labels = jnp.broadcast_to(
+                    x, (t_max, v_dim) + targets[m].shape[1:])
+                loss += mult * losses.nll_categorical(
+                    rec[0], labels, wmask)
+            else:
+                loss += mult * losses.nll_gauss(rec[0], rec[1], x,
+                                                wmask)
+        return loss, dec_state
 
 
 if __name__ == "__main__":

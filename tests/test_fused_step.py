@@ -1,0 +1,92 @@
+"""The fused (stacked-variant) DMM objective must match the reference's
+loop of separate forwards exactly in MAP mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_dmm_tpu.models.dmm import MultiDMM
+
+T, B, Z, H = 10, 4, 5, 12
+MODS = ["m0", "m1", "m2"]
+DIMS = [2, 3, 1]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MultiDMM(MODS, DIMS, z_dim=Z, h_dim=H)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    inputs = {}
+    for m, d in zip(MODS, DIMS):
+        x = rng.randn(T, B, d).astype(np.float32)
+        x[rng.rand(T, B) < 0.3] = np.nan
+        inputs[m] = jnp.array(x)
+    mask = jnp.ones((T, B, 1))
+    return model, params, state, inputs, mask
+
+
+@pytest.mark.parametrize("uni_loss", [True, False])
+def test_fused_matches_unfused_map(setup, uni_loss):
+    model, params, state, inputs, mask = setup
+    rec_mults = {"m0": 0.5, "m1": 0.2, "m2": 1.0}
+    common = dict(kld_mult=0.7, rec_mults=rec_mults,
+                  rng=jax.random.PRNGKey(9), targets=inputs,
+                  uni_loss=uni_loss, sample=False, match_mult=0.0,
+                  train_particles=1, flt_particles=1)
+    loss_ref, _ = model.step(params, state, inputs, mask, fused=False,
+                             **common)
+    loss_fused, _ = model.step(params, state, inputs, mask, fused=True,
+                               **common)
+    np.testing.assert_allclose(float(loss_fused), float(loss_ref),
+                               rtol=2e-4)
+
+
+def test_fused_matches_unfused_subset_inputs(setup):
+    """Fused path with an input dict missing a modality."""
+    model, params, state, inputs, mask = setup
+    sub = {m: inputs[m] for m in ("m0", "m2")}
+    tgt = {m: inputs[m] for m in MODS}
+    common = dict(kld_mult=1.0, rec_mults={m: 1.0 for m in MODS},
+                  rng=jax.random.PRNGKey(4), targets=tgt,
+                  uni_loss=True, sample=False, match_mult=0.0,
+                  train_particles=1, flt_particles=1)
+    # NOTE: with a missing modality the reference's unimodal forward for
+    # the absent modality encodes NaN inputs (mask 0) — fused handles
+    # this by the same zero-mask row.
+    loss_ref, _ = model.step(params, state, sub, mask, fused=False,
+                             **common)
+    loss_fused, _ = model.step(params, state, sub, mask, fused=True,
+                               **common)
+    np.testing.assert_allclose(float(loss_fused), float(loss_ref),
+                               rtol=2e-4)
+
+
+def test_fused_grads_match_map(setup):
+    model, params, state, inputs, mask = setup
+    rec_mults = {m: 1.0 for m in MODS}
+
+    def loss_fn(p, fused):
+        loss, _ = model.step(
+            p, state, inputs, mask, 1.0, rec_mults,
+            jax.random.PRNGKey(5), targets=inputs, sample=False,
+            match_mult=0.0, train_particles=1, fused=fused)
+        return loss
+
+    g_ref = jax.grad(lambda p: loss_fn(p, False))(params)
+    g_fused = jax.grad(lambda p: loss_fn(p, True))(params)
+    ref_leaves = jax.tree_util.tree_leaves(g_ref)
+    fused_leaves = jax.tree_util.tree_leaves(g_fused)
+    for a, b in zip(ref_leaves, fused_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_fused_sampling_runs_and_is_finite(setup):
+    model, params, state, inputs, mask = setup
+    loss, _ = model.step(params, state, inputs, mask, 1.0,
+                         {m: 1.0 for m in MODS}, jax.random.PRNGKey(6),
+                         targets=inputs, fused=True,
+                         train_particles=5, match_particles=5)
+    assert np.isfinite(float(loss))
