@@ -37,13 +37,17 @@ def main():
 
     T, B, Z = 25, 25, 256
     log("bench device:", jax.devices()[0])
+    bf16 = "--bf16" in sys.argv
+    dt = jnp.bfloat16 if bf16 else None
+    log("codec compute dtype:", "bf16" if bf16 else "f32")
 
     model = MultiDMM(
         ["video", "person", "action"],
         [(3, 64, 64), 9, 10],
         dists=["Bernoulli", "Categorical", "Categorical"],
-        encoders={"video": image_encoder_codec(Z, gauss_out=True)},
-        decoders={"video": image_decoder_codec(Z)},
+        encoders={"video": image_encoder_codec(Z, gauss_out=True,
+                                               compute_dtype=dt)},
+        decoders={"video": image_decoder_codec(Z, compute_dtype=dt)},
         z_dim=Z, h_dim=Z)
     params, state = model.init(jax.random.PRNGKey(0))
 

@@ -47,16 +47,22 @@ class VidTIMITTrainer(trainer.Trainer):
         z_dim = args.model_args.get('z_dim', 256)
         h_dim = args.model_args.get('h_dim', 256)
         gauss_out = (args.model not in ('MultiDKS', 'dks'))
-        encoders = {
-            'video': codecs.image_encoder_codec(z_dim, gauss_out),
-            'audio': codecs.audio_encoder_codec(z_dim, gauss_out)}
-        decoders = {
-            'video': codecs.image_decoder_codec(z_dim),
-            'audio': codecs.audio_decoder_codec(z_dim)}
-        custom = [m for m in ('video', 'audio') if m in args.modalities]
         model_args = dict(args.model_args)
         model_args.pop('z_dim', None)
         model_args.pop('h_dim', None)
+        dt = None
+        if model_args.pop('bf16', False):
+            import jax.numpy as jnp
+            dt = jnp.bfloat16
+        encoders = {
+            'video': codecs.image_encoder_codec(z_dim, gauss_out,
+                                                compute_dtype=dt),
+            'audio': codecs.audio_encoder_codec(z_dim, gauss_out,
+                                                compute_dtype=dt)}
+        decoders = {
+            'video': codecs.image_decoder_codec(z_dim, compute_dtype=dt),
+            'audio': codecs.audio_decoder_codec(z_dim, compute_dtype=dt)}
+        custom = [m for m in ('video', 'audio') if m in args.modalities]
         model = constructor(
             args.modalities,
             dims=[dims[m] for m in args.modalities],

@@ -50,17 +50,26 @@ class WeizmannTrainer(trainer.Trainer):
         z_dim = args.model_args.get('z_dim', 256)
         h_dim = args.model_args.get('h_dim', 256)
         gauss_out = (args.model not in ('MultiDKS', 'dks'))
-        encoders = {
-            'video': codecs.image_encoder_codec(z_dim, gauss_out),
-            'mask': codecs.image_encoder_codec(z_dim, gauss_out,
-                                               n_channels=1)}
-        decoders = {
-            'video': codecs.image_decoder_codec(z_dim),
-            'mask': codecs.image_decoder_codec(z_dim, n_channels=1)}
-        custom = [m for m in ('video', 'mask') if m in args.modalities]
         model_args = dict(args.model_args)
         model_args.pop('z_dim', None)
         model_args.pop('h_dim', None)
+        # bf16 codec compute (f32 masters/accumulation) via
+        # --model_args '{bf16: true}'.
+        dt = None
+        if model_args.pop('bf16', False):
+            import jax.numpy as jnp
+            dt = jnp.bfloat16
+        encoders = {
+            'video': codecs.image_encoder_codec(z_dim, gauss_out,
+                                                compute_dtype=dt),
+            'mask': codecs.image_encoder_codec(z_dim, gauss_out,
+                                               n_channels=1,
+                                               compute_dtype=dt)}
+        decoders = {
+            'video': codecs.image_decoder_codec(z_dim, compute_dtype=dt),
+            'mask': codecs.image_decoder_codec(z_dim, n_channels=1,
+                                               compute_dtype=dt)}
+        custom = [m for m in ('video', 'mask') if m in args.modalities]
         model = constructor(
             args.modalities,
             dims=[dims[m] for m in args.modalities],

@@ -51,11 +51,13 @@ def image_encoder_init(key, z_dim, gauss_out=True, img_size=64,
 
 def image_encoder_apply(params, state, meta, x, train):
     """x: (N, C, H, W) → (mean, std) or raw feats (N, feat_dim)."""
+    dt = meta.get("dt")
     h = jnp.transpose(x, (0, 2, 3, 1))  # NCHW → NHWC
     new_bns = []
     n_layers = meta["n_layers"]
     for l in range(n_layers):
-        h = tnn.conv2d_apply(params["convs"][l], h, stride=2, padding=1)
+        h = tnn.conv2d_apply(params["convs"][l], h, stride=2, padding=1,
+                             compute_dtype=dt)
         if l < n_layers - 1:
             h, bn_s = tnn.batchnorm_apply(params["bns"][l],
                                           state["bns"][l], h, train)
@@ -101,10 +103,12 @@ def image_decoder_apply(params, state, meta, z, train):
     feats = jax.nn.relu(tnn.linear_apply(params["z_to_feat"], z))
     h = feats.reshape(-1, n_k, fs, fs)          # torch NCHW layout
     h = jnp.transpose(h, (0, 2, 3, 1))          # → NHWC
+    dt = meta.get("dt")
     new_bns = []
     n_layers = meta["n_layers"]
     for l in range(n_layers):
-        h = tnn.deconv2d_apply(params["deconvs"][l], h, stride=2, padding=1)
+        h = tnn.deconv2d_apply(params["deconvs"][l], h, stride=2,
+                               padding=1, compute_dtype=dt)
         if l < n_layers - 1:
             h, bn_s = tnn.batchnorm_apply(params["bns"][l],
                                           state["bns"][l], h, train)
@@ -150,10 +154,12 @@ def audio_encoder_init(key, z_dim, gauss_out=True, n_freqs=1281,
 def audio_encoder_apply(params, state, meta, x, train):
     """x: (N, 2·n_frames, n_freqs) → (mean, std) or feats."""
     h = jnp.transpose(x, (0, 2, 1))  # NCW → NWC
+    dt = meta.get("dt")
     new_bns = []
     n_layers = meta["n_layers"]
     for l in range(n_layers):
-        h = tnn.conv1d_apply(params["convs"][l], h, stride=2, padding=1)
+        h = tnn.conv1d_apply(params["convs"][l], h, stride=2, padding=1,
+                             compute_dtype=dt)
         if l < n_layers - 1:
             h, bn_s = tnn.batchnorm_apply(params["bns"][l],
                                           state["bns"][l], h, train)
@@ -197,10 +203,12 @@ def audio_decoder_apply(params, state, meta, z, train):
     feats = jax.nn.relu(tnn.linear_apply(params["z_to_feat"], z))
     h = feats.reshape(-1, n_k, fs)
     h = jnp.transpose(h, (0, 2, 1))  # → NWC
+    dt = meta.get("dt")
     new_bns = []
     n_layers = meta["n_layers"]
     for l in range(n_layers):
-        h = tnn.deconv1d_apply(params["deconvs"][l], h, stride=2, padding=1)
+        h = tnn.deconv1d_apply(params["deconvs"][l], h, stride=2,
+                               padding=1, compute_dtype=dt)
         if l < n_layers - 1:
             h, bn_s = tnn.batchnorm_apply(params["bns"][l],
                                           state["bns"][l], h, train)
@@ -219,7 +227,7 @@ from .base import Codec  # noqa: E402
 
 
 def image_encoder_codec(z_dim, gauss_out=True, img_size=64, n_channels=3,
-                        n_kernels=64, n_layers=3):
+                        n_kernels=64, n_layers=3, compute_dtype=None):
     """ImageEncoder as a Codec; `.feat_dim` exposed for DKS feature mode
     (reference: models/dks.py:101-106 reads enc.feat_dim)."""
     feat_size = img_size // 2 ** n_layers
@@ -233,7 +241,7 @@ def image_encoder_codec(z_dim, gauss_out=True, img_size=64, n_channels=3,
 
     def apply(params, state, x, train):
         meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
-                "n_layers": n_layers}
+                "n_layers": n_layers, "dt": compute_dtype}
         return image_encoder_apply(params, state, meta, x, train)
 
     codec = Codec(init, apply)
@@ -242,7 +250,7 @@ def image_encoder_codec(z_dim, gauss_out=True, img_size=64, n_channels=3,
 
 
 def image_decoder_codec(z_dim, img_size=64, n_channels=3, n_kernels=64,
-                        n_layers=3):
+                        n_layers=3, compute_dtype=None):
     feat_size = img_size // 2 ** n_layers
 
     def init(key):
@@ -252,14 +260,14 @@ def image_decoder_codec(z_dim, img_size=64, n_channels=3, n_kernels=64,
 
     def apply(params, state, z, train):
         meta = {"feat_shape": (n_kernels, feat_size, feat_size),
-                "n_layers": n_layers}
+                "n_layers": n_layers, "dt": compute_dtype}
         return image_decoder_apply(params, state, meta, z, train)
 
     return Codec(init, apply)
 
 
 def audio_encoder_codec(z_dim, gauss_out=True, n_freqs=1281, n_frames=5,
-                        n_kernels=16, n_layers=3):
+                        n_kernels=16, n_layers=3, compute_dtype=None):
     feat_size = (n_freqs - 1) // 2 ** n_layers + 1
     feat_dim = feat_size * n_kernels
 
@@ -270,7 +278,7 @@ def audio_encoder_codec(z_dim, gauss_out=True, n_freqs=1281, n_frames=5,
 
     def apply(params, state, x, train):
         meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
-                "n_layers": n_layers}
+                "n_layers": n_layers, "dt": compute_dtype}
         return audio_encoder_apply(params, state, meta, x, train)
 
     codec = Codec(init, apply)
@@ -279,7 +287,7 @@ def audio_encoder_codec(z_dim, gauss_out=True, n_freqs=1281, n_frames=5,
 
 
 def audio_decoder_codec(z_dim, n_freqs=1281, n_frames=5, n_kernels=16,
-                        n_layers=3):
+                        n_layers=3, compute_dtype=None):
     feat_size = (n_freqs - 1) // 2 ** n_layers + 1
 
     def init(key):
@@ -288,7 +296,8 @@ def audio_decoder_codec(z_dim, n_freqs=1281, n_frames=5, n_kernels=16,
         return p, s
 
     def apply(params, state, z, train):
-        meta = {"feat_shape": (n_kernels, feat_size), "n_layers": n_layers}
+        meta = {"feat_shape": (n_kernels, feat_size),
+                "n_layers": n_layers, "dt": compute_dtype}
         return audio_decoder_apply(params, state, meta, z, train)
 
     return Codec(init, apply)

@@ -180,12 +180,19 @@ def conv2d_init(key, c_in, c_out, ksize=3, xavier=True):
     return {"w": w, "b": b}
 
 
-def conv2d_apply(p, x, stride=2, padding=1):
-    """x: (N, H, W, C) → (N, H', W', C')."""
+def conv2d_apply(p, x, stride=2, padding=1, compute_dtype=None):
+    """x: (N, H, W, C) → (N, H', W', C'). ``compute_dtype`` (e.g.
+    bfloat16) runs the MXU contraction in reduced precision with f32
+    accumulation; params stay f32 masters."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride),
+        x, w, window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
     return out + p["b"]
 
 
@@ -204,7 +211,7 @@ def deconv2d_init(key, c_in, c_out, ksize=4, xavier=True):
     return {"w": w, "b": b}
 
 
-def deconv2d_apply(p, x, stride=2, padding=1):
+def deconv2d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     """torch ConvTranspose2d semantics via input-dilated convolution.
 
     out_size = (in-1)*stride - 2*padding + ksize
@@ -214,11 +221,15 @@ def deconv2d_apply(p, x, stride=2, padding=1):
     # Kernel stored HWOI: flip spatial taps and swap in/out to get the
     # HWIO kernel of the equivalent (input-dilated) forward convolution.
     w = jnp.transpose(p["w"][::-1, ::-1, :, :], (0, 1, 3, 2))
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1),
         padding=[(pad, pad), (pad, pad)],
         lhs_dilation=(stride, stride),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
     return out + p["b"]
 
 
@@ -233,12 +244,17 @@ def conv1d_init(key, c_in, c_out, ksize=3, xavier=True):
     return {"w": w, "b": b}
 
 
-def conv1d_apply(p, x, stride=2, padding=1):
+def conv1d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     """x: (N, L, C)."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride,),
+        x, w, window_strides=(stride,),
         padding=[(padding, padding)],
-        dimension_numbers=("NWC", "WIO", "NWC"))
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)
     return out + p["b"]
 
 
@@ -253,16 +269,20 @@ def deconv1d_init(key, c_in, c_out, ksize=3, xavier=True):
     return {"w": w, "b": b}
 
 
-def deconv1d_apply(p, x, stride=2, padding=1):
+def deconv1d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     """torch ConvTranspose1d: out = (in-1)*stride - 2*padding + ksize."""
     ksize = p["w"].shape[0]
     pad = ksize - 1 - padding
     w = jnp.transpose(p["w"][::-1, :, :], (0, 2, 1))  # WOI → WIO, flipped
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,),
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"))
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)
     return out + p["b"]
 
 
