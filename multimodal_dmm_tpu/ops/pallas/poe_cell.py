@@ -41,7 +41,7 @@ def _kernel(prior_mean_ref, prior_std_ref, obs_mean_ref, obs_std_ref,
     for m in range(n_experts):  # static unrolled expert loop
         om = obs_mean_ref[m]
         os_ = obs_std_ref[m]
-        mk = mask_ref[m][:, None]
+        mk = mask_ref[m]  # (TB, 1), broadcasts over the lane dim
         var = os_ * os_ + _EPS
         prec = jnp.where(mk > 0, jnp.sign(os_) / var, 0.0)
         num = num + jnp.where(mk > 0, om * prec, 0.0)
@@ -86,10 +86,13 @@ def poe_sample_cell(prior_mean, prior_std, obs_mean, obs_std, mask, eps,
 
     from jax.experimental import pallas as pl
 
-    # Tile the batch so (K, TB, D) noise/particle blocks fit in VMEM.
+    # Tile the batch so (K, TB, D) noise/particle blocks fit in VMEM;
+    # TPU tiling needs the sublane (second-to-last) block dim to be a
+    # multiple of 8.
     budget = 8 * 1024 * 1024
     tb = max(8, min(b_dim, budget // max(1, 2 * k * d * 4)))
     tb = min(tb, 512)
+    tb = max(8, (tb // 8) * 8)
     pad = (-b_dim) % tb
     if pad:
         padc = [(0, 0)] * 0
@@ -103,7 +106,9 @@ def poe_sample_cell(prior_mean, prior_std, obs_mean, obs_std, mask, eps,
         eps = jnp.pad(eps, ((0, 0), (0, pad), (0, 0)))
     bp = b_dim + pad
     grid = (bp // tb,)
-    mask = mask.astype(jnp.float32)
+    # (M, B, 1) so the mask's lane dim is a full (singleton) dimension —
+    # TPU tiling requires the last block dim be 128-divisible or full.
+    mask = mask.astype(jnp.float32)[..., None]
 
     out_shapes = (
         jax.ShapeDtypeStruct((bp, d), prior_mean.dtype),
@@ -120,7 +125,7 @@ def poe_sample_cell(prior_mean, prior_std, obs_mean, obs_std, mask, eps,
             pl.BlockSpec((tb, d), lambda i: (i, 0)),
             pl.BlockSpec((n_exp, tb, d), lambda i: (0, i, 0)),
             pl.BlockSpec((n_exp, tb, d), lambda i: (0, i, 0)),
-            pl.BlockSpec((n_exp, tb), lambda i: (0, i)),
+            pl.BlockSpec((n_exp, tb, 1), lambda i: (0, i, 0)),
             pl.BlockSpec((k, tb, d), lambda i: (0, i, 0)),
         ],
         out_specs=(
