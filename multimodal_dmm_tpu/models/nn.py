@@ -191,9 +191,8 @@ def conv2d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return out + p["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out.astype(jnp.float32) + p["b"]
 
 
 def deconv2d_init(key, c_in, c_out, ksize=4, xavier=True):
@@ -228,9 +227,8 @@ def deconv2d_apply(p, x, stride=2, padding=1, compute_dtype=None):
         x, w, window_strides=(1, 1),
         padding=[(pad, pad), (pad, pad)],
         lhs_dilation=(stride, stride),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return out + p["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out.astype(jnp.float32) + p["b"]
 
 
 def conv1d_init(key, c_in, c_out, ksize=3, xavier=True):
@@ -253,9 +251,8 @@ def conv1d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,),
         padding=[(padding, padding)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32)
-    return out + p["b"]
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return out.astype(jnp.float32) + p["b"]
 
 
 def deconv1d_init(key, c_in, c_out, ksize=3, xavier=True):
@@ -281,9 +278,8 @@ def deconv1d_apply(p, x, stride=2, padding=1, compute_dtype=None):
         x, w, window_strides=(1,),
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32)
-    return out + p["b"]
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return out.astype(jnp.float32) + p["b"]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,94 @@
+"""Extra trainer-path coverage: semi corruption, VRNN via the trainer,
+unfused flag plumbing, gradient-flow plotting."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_dmm_tpu.apps.spirals import SpiralsTrainer
+from multimodal_dmm_tpu.data.spirals import gen_dataset
+from multimodal_dmm_tpu.training.loader import BatchLoader
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("spirals_data")
+    gen_dataset(n_examples=14, n_train=8, timesteps=16,
+                data_dir=str(d))
+    return str(d)
+
+
+def make_args(data_dir, save_dir, **over):
+    defaults = dict(data_dir=data_dir, save_dir=save_dir, epochs=1,
+                    eval_freq=1, save_freq=1, batch_size=4,
+                    device="cpu", seed=1)
+    defaults.update(over)
+    argv = []
+    for k, v in defaults.items():
+        if isinstance(v, bool):
+            if v:
+                argv.append("--" + k)
+        else:
+            argv += ["--" + k, str(v)]
+    return SpiralsTrainer.parser.parse_args(argv)
+
+
+def test_semi_corruption_training(tiny_env, tmp_path):
+    """--corrupt '{semi: 0.5, modalities: [spiral-y]}' deletes whole
+    modalities per sequence during training (trainer.py:499-503)."""
+    args = make_args(tiny_env, str(tmp_path / "s"),
+                     corrupt="{semi: 0.5, modalities: [spiral-y]}")
+    trainer = SpiralsTrainer(args)
+    # auto rec_mults unaffected by semi corruption
+    trainer.run_train(args)
+    assert os.path.exists(os.path.join(str(tmp_path / "s"), "last.pth"))
+
+
+def test_uniform_corruption_scales_rec_mults(tiny_env, tmp_path):
+    args = make_args(tiny_env, str(tmp_path / "u"),
+                     corrupt="{uniform: 0.5}")
+    trainer = SpiralsTrainer(args)
+    # (1/1)/2 * 1/(1-0.5) = 1.0 (spirals.py:64-73)
+    assert abs(args.rec_mults["spiral-x"] - 1.0) < 1e-9
+
+
+def test_vrnn_through_trainer(tiny_env, tmp_path):
+    args = make_args(tiny_env, str(tmp_path / "v"), model="vrnn")
+    trainer = SpiralsTrainer(args)
+    trainer.run_train(args)
+    _, metrics = trainer.run_eval(args)
+
+
+def test_unfused_train_args_plumbing(tiny_env, tmp_path):
+    """--train_args '{fused: false}' reaches MultiDMM.step."""
+    args = make_args(tiny_env, str(tmp_path / "nf"),
+                     train_args="{fused: false}")
+    trainer = SpiralsTrainer(args)
+    train_data = trainer.train_data.split(args.split, args.bylen)
+    loader = BatchLoader(train_data, batch_size=args.batch_size,
+                         shuffle=True)
+    loss = trainer.train(loader, 1, args)
+    assert np.isfinite(loss)
+
+
+def test_gradients_flag_writes_plot(tiny_env, tmp_path):
+    save_dir = str(tmp_path / "g")
+    args = make_args(tiny_env, save_dir, gradients=True)
+    trainer = SpiralsTrainer(args)
+    train_data = trainer.train_data.split(args.split, args.bylen)
+    loader = BatchLoader(train_data, batch_size=args.batch_size,
+                         shuffle=True)
+    trainer.train(loader, 1, args)
+    assert os.path.exists(os.path.join(save_dir, "grad_flow.pdf"))
+
+
+def test_dks_through_trainer_bwd_skip(tiny_env, tmp_path):
+    args = make_args(tiny_env, str(tmp_path / "d"), method="b-skip")
+    trainer = SpiralsTrainer(args)
+    assert args.model == "dks"
+    assert args.model_args == {"rnn_skip": True, "rnn_dir": "bwd",
+                               "feat_to_z": False}
+    trainer.run_train(args)
+    assert os.path.exists(os.path.join(str(tmp_path / "d"),
+                                       "best.pth"))
