@@ -267,6 +267,21 @@ class Trainer:
         step_fn = self._get_train_step(args)
         n_batches = len(loader)
         timer = StepTimer()
+        # One-step-delayed loss readback: the device loss of batch i is
+        # converted to a Python float only after batch i+1 has been
+        # dispatched, so host-side batch prep (burst deletion, padding,
+        # H2D transfer) overlaps the device step — JAX dispatch is
+        # asynchronous, the conversion is the only sync point.
+        pending = None  # (b_num, device_loss, n_steps)
+
+        def drain(p):
+            nonlocal loss_sum, data_num
+            b_prev, loss_dev, n_prev = p
+            loss_sum += float(loss_dev)
+            data_num += n_prev
+            print('Batch: {:5d}\tLoss: {:10.1f}'.format(
+                b_prev, loss_sum / data_num))
+
         for b_num, (targets, mask, lengths, _, _) in enumerate(loader):
             b_tot = b_num + epoch * n_batches
             kld_mult = anneal(0.0, args.kld_mult, b_tot,
@@ -289,15 +304,15 @@ class Trainer:
                                                   'grad_flow.pdf'))
             else:
                 self.params, self.state, self.opt_state, b_loss = out
-            b_loss = float(b_loss)  # blocks until device completes
             timer.stop()
-            loss_sum += b_loss
-            data_num += sum(lengths)
-            print('Batch: {:5d}\tLoss: {:10.1f}'.format(
-                b_num, loss_sum / data_num))
+            if pending is not None:
+                drain(pending)
+            pending = (b_num, b_loss, sum(lengths))
+        if pending is not None:
+            drain(pending)
         if args.profile_dir:
             print('Step timing:', timer.summary())
-        loss = loss_sum / data_num
+        loss = loss_sum / max(data_num, 1)
         print('---')
         print('Epoch: {}\tLoss: {:10.1f}\tKLD-Mult: {:0.3f}'.format(
             epoch, loss, kld_mult))
