@@ -38,8 +38,12 @@ class MultiDMM(MultiDGTS):
     def __init__(self, modalities, dims, dists=None,
                  encoders=None, decoders=None, h_dim=32, z_dim=32,
                  z0_mean=0.0, z0_std=1.0, min_std=1e-3,
-                 use_pallas="auto"):
+                 use_pallas="auto", scan_unroll=1):
         self.use_pallas = use_pallas
+        # lax.scan unroll factor for the filtering loops: the per-step
+        # compute is small, so unrolling lets XLA fuse/overlap across
+        # timesteps and cuts loop overhead.
+        self.scan_unroll = scan_unroll
         self.modalities = list(modalities)
         self.n_mods = len(self.modalities)
         self.dims = dict(zip(self.modalities, dims))
@@ -250,7 +254,8 @@ class MultiDMM(MultiDGTS):
         k_init = n_particles if do_sample else 1
         z0 = jnp.zeros((k_init, b_dim, self.z_dim))
         _, (p_mean, p_std, i_mean, i_std, samples) = jax.lax.scan(
-            cell, z0, (xs_mean, xs_std, xs_mask, is_first, keys))
+            cell, z0, (xs_mean, xs_std, xs_mask, is_first, keys),
+            unroll=self.scan_unroll)
 
         if direction == "bwd":
             p_mean, p_std = p_mean[::-1], p_std[::-1]

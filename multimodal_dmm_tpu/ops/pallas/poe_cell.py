@@ -95,7 +95,6 @@ def poe_sample_cell(prior_mean, prior_std, obs_mean, obs_std, mask, eps,
     tb = max(8, (tb // 8) * 8)
     pad = (-b_dim) % tb
     if pad:
-        padc = [(0, 0)] * 0
         prior_mean = jnp.pad(prior_mean, ((0, pad), (0, 0)))
         prior_std = jnp.pad(prior_std, ((0, pad), (0, 0)),
                             constant_values=1.0)
