@@ -38,12 +38,18 @@ class MultiDMM(MultiDGTS):
     def __init__(self, modalities, dims, dists=None,
                  encoders=None, decoders=None, h_dim=32, z_dim=32,
                  z0_mean=0.0, z0_std=1.0, min_std=1e-3,
-                 use_pallas="auto", scan_unroll=1):
+                 use_pallas="auto", scan_unroll=1,
+                 use_scan_kernel=False):
         self.use_pallas = use_pallas
         # lax.scan unroll factor for the filtering loops: the per-step
         # compute is small, so unrolling lets XLA fuse/overlap across
         # timesteps and cuts loop overhead.
         self.scan_unroll = scan_unroll
+        # Full-scan Pallas kernel (ops/pallas/bfvi_scan): runs the whole
+        # filtering loop in one kernel with VMEM-resident state and a
+        # hand-derived backward; usable in training and eval.
+        self.use_scan_kernel = use_scan_kernel
+        self._scan_kernel_interpret = False
         self.modalities = list(modalities)
         self.n_mods = len(self.modalities)
         self.dims = dict(zip(self.modalities, dims))
@@ -159,6 +165,18 @@ class MultiDMM(MultiDGTS):
 
     # -- latent dynamics ------------------------------------------------------
 
+    def _scan_kernel_enabled(self):
+        if self.use_scan_kernel is False:
+            return False
+        if self.use_scan_kernel is True:
+            return True
+        if self.z_dim % 128 != 0:
+            return False
+        try:
+            return jax.default_backend() not in ("cpu",)
+        except Exception:
+            return False
+
     def _pallas_enabled(self, train):
         """Pallas cell on gradient-free paths, TPU backend, tiled dims."""
         if self.use_pallas is False or train:
@@ -210,6 +228,29 @@ class MultiDMM(MultiDGTS):
         is_first = (jnp.arange(t_max) == 0)
         keys = jax.random.split(rng, t_max)
         do_sample = sample or n_particles > 1
+
+        if self._scan_kernel_enabled():
+            # Whole-loop Pallas kernel path. The eps stream reproduces
+            # exactly what the scan cell would draw from the same keys.
+            from ..ops.pallas.bfvi_scan import bfvi_scan
+            if do_sample:
+                eps = jax.vmap(lambda kk: jax.random.normal(
+                    kk, (n_particles, b_dim, z_dim)))(keys)
+            elif sample_init:
+                eps0 = jax.random.normal(keys[0], (1, b_dim, z_dim))
+                eps = jnp.zeros((t_max, 1, b_dim, z_dim)
+                                ).at[0].set(eps0)
+            else:
+                eps = jnp.zeros((t_max, 1, b_dim, z_dim))
+            p_mean, p_std, i_mean, i_std, samples = bfvi_scan(
+                xs_mean, xs_std, xs_mask.astype(jnp.float32),
+                glb_mean, glb_std, params["trans"][direction], eps,
+                self.min_std, None, self._scan_kernel_interpret)
+            if direction == "bwd":
+                p_mean, p_std = p_mean[::-1], p_std[::-1]
+                i_mean, i_std = i_mean[::-1], i_std[::-1]
+                samples = samples[::-1]
+            return (i_mean, i_std), (p_mean, p_std), samples
 
         def cell(z_prev, xs):
             om, os, omask, first, key = xs

@@ -129,6 +129,17 @@ class Trainer:
     parser = _build_parser()
 
     def __init__(self, args):
+        # Persistent XLA compilation cache: amortizes the remote-compile
+        # cost across processes and experiment trials.
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/multimodal_dmm_tpu_xla"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
+
         # Seeding (trainer.py:156-159): numpy drives data corruption,
         # a jax key drives model sampling.
         np.random.seed(args.seed)
