@@ -58,6 +58,12 @@ def expand_config(config):
     return out
 
 
+class StopTrial(Exception):
+    """Raised by the reporter when a trial reports done=True — the
+    in-process equivalent of Ray terminating the trial (the reference's
+    trials report done on NaN loss, trainer.py:536)."""
+
+
 class Reporter:
     """Per-trial status reporter writing progress.csv rows."""
 
@@ -78,6 +84,8 @@ class Reporter:
         with open(self.path, "a") as f:
             f.write(",".join(str(row.get(k, "")) for k in self._keys)
                     + "\n")
+        if kwargs.get("done"):
+            raise StopTrial()
 
 
 def _tag(i, config, grid_keys):
@@ -129,6 +137,8 @@ def run(trainable, name, config, local_dir="./",
         try:
             os.chdir(logdir)
             fn(copy.deepcopy(trial_config), reporter)
+        except StopTrial:
+            pass  # trial self-terminated (done=True / NaN loss)
         except Exception as e:  # trial failure should not kill the sweep
             print("Trial {} errored: {!r}".format(trial_id, e))
             status = "ERROR"
