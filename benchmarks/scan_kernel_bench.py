@@ -1,7 +1,10 @@
 """A/B bench: full-scan Pallas kernel vs lax.scan in the Weizmann-shaped
 BFVI training step (run on TPU)."""
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

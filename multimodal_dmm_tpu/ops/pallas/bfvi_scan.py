@@ -186,6 +186,17 @@ def _fwd_kernel(obs_mean_ref, obs_std_ref, obs_mask_ref,
     jax.lax.fori_loop(0, t_max, body, 0)
 
 
+def _compiler_params(pltpu):
+    # The (T, K, TB, D) noise/trajectory blocks exceed the default 16 MB
+    # scoped-VMEM budget once Pallas double-buffers them; raise the cap
+    # (v5e has 128 MB of VMEM per core).
+    try:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    except TypeError:
+        return None
+
+
 def bfvi_scan_pallas(obs_mean, obs_std, obs_mask, glb_mean, glb_std,
                      gtf, eps, min_std, tile_b=None, interpret=False):
     """Pallas execution of the fused filtering loop (forward only)."""
@@ -251,6 +262,7 @@ def bfvi_scan_pallas(obs_mean, obs_std, obs_mask, glb_mean, glb_std,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((k, tile_b, d), jnp.float32)],
+        compiler_params=_compiler_params(pltpu),
         interpret=interpret,
     )(obs_mean, obs_std, maskf, glb_mean, glb_std, *wb, eps)
     if pad:
@@ -553,6 +565,7 @@ def bfvi_scan_pallas_bwd(res, cots, min_std, tile_b, interpret):
             pltpu.VMEM((tile_b, d), jnp.float32),
             pltpu.VMEM((tile_b, d), jnp.float32),
         ],
+        compiler_params=_compiler_params(pltpu),
         interpret=interpret,
     )(obs_mean, obs_std, maskf, glb_mean, glb_std, *wb,
       eps, z_traj, prior_mean, prior_std,
