@@ -39,7 +39,11 @@ class MultiDMM(MultiDGTS):
                  encoders=None, decoders=None, h_dim=32, z_dim=32,
                  z0_mean=0.0, z0_std=1.0, min_std=1e-3,
                  use_pallas="auto", scan_unroll=1,
-                 use_scan_kernel=False):
+                 use_scan_kernel=False, bf16_gtf=False):
+        # bf16_gtf: run the GTF transition matmuls in bfloat16 (the
+        # particle-heavy smoothing pass is MXU-FLOP-bound; opt-in since
+        # it perturbs the recurrence numerics slightly).
+        self.bf16_gtf = bf16_gtf
         self.use_pallas = use_pallas
         # lax.scan unroll factor for the filtering loops: the per-step
         # compute is small, so unrolling lets XLA fuse/overlap across
@@ -192,8 +196,9 @@ class MultiDMM(MultiDGTS):
         """p(z_next|z) from particles z: (K, B, D) → (B, D) params
         (dmm.py:214-258): PoE(global prior, GTF(z_k)) per particle, then
         moment-matched average over particles."""
+        dt = jnp.bfloat16 if self.bf16_gtf else None
         q_mean, q_std = tnn.gtf_apply(params["trans"][direction], z,
-                                      self.min_std)
+                                      self.min_std, compute_dtype=dt)
         glb_mean_b = jnp.broadcast_to(glb_mean, q_mean.shape)
         glb_std_b = jnp.broadcast_to(glb_std, q_std.shape)
         pp_mean, pp_std = product_of_experts(

@@ -102,13 +102,22 @@ def gtf_init(key, z_dim, h_dim, min_std=0.0):
     }
 
 
-def gtf_apply(p, z, min_std=0.0):
-    gate = jax.nn.sigmoid(linear_apply(
-        p["gate_2"], jax.nn.relu(linear_apply(p["gate_1"], z))))
-    z_lin = linear_apply(p["z_lin"], z)
-    z_nonlin = linear_apply(
-        p["nonlin_2"], jax.nn.relu(linear_apply(p["nonlin_1"], z)))
-    z_std = jax.nn.softplus(linear_apply(p["z_to_std"], z_nonlin)) \
+def gtf_apply(p, z, min_std=0.0, compute_dtype=None):
+    """GTF transition; ``compute_dtype=bfloat16`` runs the six matmuls
+    on the MXU in reduced precision (f32 params and activations)."""
+    if compute_dtype is None:
+        lin = linear_apply
+    else:
+        def lin(q, x):
+            out = jnp.matmul(x.astype(compute_dtype),
+                             q["w"].astype(compute_dtype))
+            return out.astype(jnp.float32) + q["b"]
+    gate = jax.nn.sigmoid(lin(
+        p["gate_2"], jax.nn.relu(lin(p["gate_1"], z))))
+    z_lin = lin(p["z_lin"], z)
+    z_nonlin = lin(
+        p["nonlin_2"], jax.nn.relu(lin(p["nonlin_1"], z)))
+    z_std = jax.nn.softplus(lin(p["z_to_std"], z_nonlin)) \
         + min_std
     z_mean = (1 - gate) * z_lin + gate * z_nonlin
     return z_mean, z_std
