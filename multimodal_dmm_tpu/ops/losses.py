@@ -44,13 +44,31 @@ def _combined_mask(x, mask):
 
 
 def kld_gauss(mean_1, std_1, mean_2, std_2, mask=None):
-    """KL(N(mean_1, std_1) ‖ N(mean_2, std_2)), masked sum (losses.py:14-21)."""
-    kld_element = (2 * jnp.log(std_2) - 2 * jnp.log(std_1)
-                   + (std_1 * std_1 + (mean_1 - mean_2) ** 2)
-                   / (std_2 * std_2) - 1)
+    """KL(N(mean_1, std_1) ‖ N(mean_2, std_2)), masked sum (losses.py:14-21).
+
+    Masked positions are excluded the way the reference's
+    ``masked_select`` excludes them: by substituting neutral parameter
+    values BEFORE the math, so inf/NaN latents at padded timesteps can
+    never contaminate the sum or its gradients (a plain mask-multiply
+    would turn 0·inf into NaN)."""
     if mask is not None:
-        mask = _broadcast_mask(mask, kld_element)
-        kld_element = kld_element * mask.astype(kld_element.dtype)
+        shape = jnp.broadcast_shapes(mean_1.shape, std_1.shape,
+                                     mean_2.shape, std_2.shape)
+        m = _broadcast_mask(mask, jnp.zeros(shape)) > 0
+        mean_1 = jnp.where(m, mean_1, 0.0)
+        mean_2 = jnp.where(m, mean_2, 0.0)
+        std_1 = jnp.where(m, std_1, 1.0)
+        std_2 = jnp.where(m, std_2, 1.0)
+    # Clamp stds so squares can't overflow f32 into inf/inf = NaN when a
+    # diverging run produces huge-but-finite latents (the reference
+    # returns inf/NaN here; we return a finite huge loss so NaN
+    # detection still fires downstream without poisoning XLA fusions).
+    std_1 = jnp.clip(std_1, 1e-6, 1e6)
+    std_2 = jnp.clip(std_2, 1e-6, 1e6)
+    diff = jnp.clip(mean_1 - mean_2, -1e15, 1e15)
+    kld_element = (2 * jnp.log(std_2) - 2 * jnp.log(std_1)
+                   + (std_1 * std_1 + diff * diff)
+                   / (std_2 * std_2) - 1)
     return 0.5 * jnp.sum(kld_element)
 
 
@@ -58,6 +76,7 @@ def nll_bernoulli(theta, x, mask=None):
     """Bernoulli NLL with torch-BCE log clamping at -100 (losses.py:23-42)."""
     m = _combined_mask(x, mask)
     xs = jnp.where(jnp.isnan(x), 0.0, x)
+    theta = jnp.where(m > 0, theta, 0.5)  # NaN/inf-proof exclusion
     log_t = jnp.maximum(jnp.log(theta), -100.0)
     log_1mt = jnp.maximum(jnp.log1p(-theta), -100.0)
     nll = -(xs * log_t + (1.0 - xs) * log_1mt)
@@ -75,6 +94,7 @@ def nll_categorical(probs, x, mask=None):
     m = _combined_mask(x, mask)
     labels = jnp.where(jnp.isnan(x), 0.0, x).astype(jnp.int32)
     p_target = jnp.take_along_axis(probs, labels, axis=-1)
+    p_target = jnp.where(m > 0, p_target, 0.0)
     return jnp.sum(-p_target * m)
 
 
@@ -82,6 +102,10 @@ def nll_gauss(mean, std, x, mask=None):
     """Gaussian NLL, masked sum (losses.py:68-89)."""
     m = _combined_mask(x, mask)
     xs = jnp.where(jnp.isnan(x), 0.0, x)
+    mean = jnp.where(m > 0, mean, 0.0)  # NaN/inf-proof exclusion
+    std = jnp.where(m > 0, std, 1.0)
+    mean = jnp.clip(mean, -1e15, 1e15)  # overflow guard (see kld_gauss)
+    std = jnp.clip(std, 1e-6, 1e6)
     nll = (0.5 * ((xs - mean) / std) ** 2 + jnp.log(std)
            + 0.5 * math.log(2 * math.pi))
     return jnp.sum(nll * m)

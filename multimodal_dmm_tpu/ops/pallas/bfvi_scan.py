@@ -75,8 +75,10 @@ def _poe_obs(prior_mean, prior_std, obs_mean, obs_std, obs_mask):
         prec = jnp.where(mk > 0, jnp.sign(obs_std[m]) / var, 0.0)
         num = num + jnp.where(mk > 0, obs_mean[m] * prec, 0.0)
         denom = denom + prec
-    mean = num / denom
-    std = jax.lax.rsqrt(jnp.abs(denom)) * jnp.sign(denom)
+    low = denom < 1e-6  # ops/poe.py PREC_FLOOR semantics
+    safe = jnp.where(low, 1.0, denom)
+    mean = jnp.where(low, 0.0, num / safe)
+    std = jnp.where(low, 1e3, jax.lax.rsqrt(safe))
     return mean, std
 
 
@@ -171,8 +173,10 @@ def _fwd_kernel(obs_mean_ref, obs_std_ref, obs_mask_ref,
             prec = jnp.where(mk > 0, jnp.sign(os_) / var_o, 0.0)
             num = num + jnp.where(mk > 0, om * prec, 0.0)
             den = den + prec
-        infer_mean = num / den
-        infer_std = jax.lax.rsqrt(jnp.abs(den)) * jnp.sign(den)
+        low = den < 1e-6  # ops/poe.py PREC_FLOOR semantics
+        safe_den = jnp.where(low, 1.0, den)
+        infer_mean = jnp.where(low, 0.0, num / safe_den)
+        infer_std = jnp.where(low, 1e3, jax.lax.rsqrt(safe_den))
         z = infer_mean[None] + eps_ref[t] * infer_std[None]
         z_scr[:] = z
         prior_mean_ref[t] = prior_mean
@@ -319,8 +323,10 @@ def _bwd_kernel(obs_mean_ref, obs_std_ref, obs_mask_ref,
             num = num + jnp.where(mk > 0, obs_mean_ref[t, m] * prec,
                                   0.0)
             den = den + prec
-        im = num / den
-        is_ = jax.lax.rsqrt(jnp.abs(den)) * jnp.sign(den)
+        low = den < 1e-6
+        safe_den = jnp.where(low, 1.0, den)
+        im = jnp.where(low, 0.0, num / safe_den)
+        is_ = jnp.where(low, 1e3, jax.lax.rsqrt(safe_den))
 
         # ---- cotangents into z_t → infer params -----------------------
         gz_tot = gz_scr[:] + g_smp_ref[t][None] / kk
@@ -328,9 +334,10 @@ def _bwd_kernel(obs_mean_ref, obs_std_ref, obs_mask_ref,
         gis = g_is_ref[t] + jnp.sum(gz_tot * eps_ref[t], axis=0)
 
         # ---- obs-PoE VJP ----------------------------------------------
-        d_num = gim / den
-        d_den = (-gim * num / (den * den)
-                 - 0.5 * gis * jnp.abs(den) ** -1.5)
+        d_num = jnp.where(low, 0.0, gim / safe_den)
+        d_den = jnp.where(
+            low, 0.0, -gim * num / (safe_den * safe_den)
+            - 0.5 * gis * safe_den ** -1.5)
         for m in range(n_exp):
             mk = obs_mask_ref[t, m]
             om = obs_mean_ref[t, m]

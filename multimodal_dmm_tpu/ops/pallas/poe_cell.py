@@ -46,12 +46,10 @@ def _kernel(prior_mean_ref, prior_std_ref, obs_mean_ref, obs_std_ref,
         prec = jnp.where(mk > 0, jnp.sign(os_) / var, 0.0)
         num = num + jnp.where(mk > 0, om * prec, 0.0)
         denom = denom + prec
-    zero = denom == 0
-    safe = jnp.where(zero, 1.0, denom)
-    infer_mean = jnp.where(zero, 0.0, num / safe)
-    infer_std = jnp.where(
-        zero, jnp.inf,
-        jax.lax.rsqrt(jnp.abs(safe)) * jnp.sign(safe))
+    low = denom < 1e-6  # ops/poe.py PREC_FLOOR semantics
+    safe = jnp.where(low, 1.0, denom)
+    infer_mean = jnp.where(low, 0.0, num / safe)
+    infer_std = jnp.where(low, 1e3, jax.lax.rsqrt(safe))
     infer_mean_ref[:] = infer_mean
     infer_std_ref[:] = infer_std
     z = infer_mean[None] + eps_ref[:] * infer_std[None]

@@ -19,6 +19,10 @@ the trailing axis is the latent dimension, anything between broadcasts.
 
 import jax.numpy as jnp
 
+# Total-precision floor (see product_of_experts): precisions below this
+# are treated as "no information" → wide posterior (std = 1e3).
+PREC_FLOOR = 1e-6
+
 
 def product_of_experts(mean, std, mask=None, eps=1e-8):
     """Fuse Gaussian experts along axis 0 in precision space.
@@ -58,16 +62,18 @@ def product_of_experts(mean, std, mask=None, eps=1e-8):
     mean = jnp.where(maskf > 0, mean, 0.0)
     num = jnp.sum(mean * prec, axis=0)
     denom = jnp.sum(prec, axis=0)
-    # Guarded division: denom == 0 → mean 0, std +inf (see Notes).
-    zero = denom == 0
-    safe = jnp.where(zero, jnp.ones_like(denom), denom)
-    product_mean = jnp.where(zero, jnp.zeros_like(num), num / safe)
-    product_std = jnp.where(zero, jnp.full_like(denom, jnp.inf),
-                            jnp.abs(safe) ** -0.5 * jnp.sign(safe))
-    # Negative total precision (over-cancelled inverse experts) yields a
-    # negative "std" sentinel rather than silent NaN, keeping the signed-std
-    # convention composable. The reference produces NaN here; we keep the
-    # magnitude identical for positive precision (the only case exercised).
+    # Precision floor: with inverse experts in the smoothing pass, f32
+    # cancellation can push the total precision to ~0 or slightly
+    # negative (the reference then produces NaN std via sqrt of a
+    # negative, models/dgts.py:50, and the run diverges). Semantically
+    # "no information" ⇒ a very WIDE posterior, so clamp the total
+    # precision at PREC_FLOOR: mean falls back to 0 and std to
+    # PREC_FLOOR**-0.5 there. Identical to the reference formula
+    # whenever the total precision is meaningfully positive.
+    low = denom < PREC_FLOOR
+    safe = jnp.where(low, jnp.ones_like(denom), denom)
+    product_mean = jnp.where(low, jnp.zeros_like(num), num / safe)
+    product_std = jnp.where(low, PREC_FLOOR ** -0.5, safe ** -0.5)
     return product_mean, product_std
 
 

@@ -76,6 +76,16 @@ def _build_parser():
     parser.add_argument('--pin_memory', type=bool, default=True,
                         metavar='B',
                         help='(accepted for parity; XLA manages transfers)')
+    parser.add_argument('--no_skip_nonfinite', action='store_true',
+                        default=False,
+                        help='apply optimizer updates even when grads '
+                             'are non-finite (reference behavior: the '
+                             'run diverges permanently)')
+    parser.add_argument('--host_loader', action='store_true',
+                        default=False,
+                        help='use the host-side numpy batch loader for '
+                             'training instead of the HBM-resident '
+                             'device pipeline')
     parser.add_argument('--normalize', type=str, default=[], nargs='+',
                         metavar='M')
     parser.add_argument('--corrupt', type=yaml.safe_load, default={},
@@ -198,6 +208,15 @@ class Trainer:
             tx.append(optax.add_decayed_weights(args.w_decay))
         tx.append(optax.adam(args.lr))
         self.optimizer = optax.chain(*tx)
+        if not getattr(args, 'no_skip_nonfinite', False):
+            # The model family occasionally produces non-finite grads on
+            # pathological batches (long unobserved stretches × sharp
+            # encoders); the reference diverges permanently and relies
+            # on trial termination (trainer.py:536). Skipping the bad
+            # update keeps training alive — finite-grad behavior is
+            # bit-identical to the raw chain.
+            self.optimizer = optax.apply_if_finite(
+                self.optimizer, max_consecutive_errors=10 ** 6)
         self.opt_state = self.optimizer.init(self.params)
         if checkpoint is not None and "opt_state" in checkpoint:
             try:
@@ -293,19 +312,32 @@ class Trainer:
             print('Batch: {:5d}\tLoss: {:10.1f}'.format(
                 b_prev, loss_sum / data_num))
 
-        for b_num, (targets, mask, lengths, _, _) in enumerate(loader):
+        from .device_loader import DeviceTrainData
+        if isinstance(loader, DeviceTrainData):
+            # HBM-resident pipeline: gather + burst deletion on device.
+            batches = ((i, t, m, le) for i, t, m, le in
+                       loader.epoch(args.seed * 100003 + epoch))
+        else:
+            def _host_batches():
+                for targets, mask, lengths, _, _ in loader:
+                    # Burst deletion augmentation (trainer.py:234-235).
+                    inputs = mseq.burst_delete(targets, args.burst_frac,
+                                               lengths)
+                    yield (self._to_device(inputs),
+                           self._to_device(targets),
+                           jnp.asarray(mask), lengths)
+            batches = _host_batches()
+
+        for b_num, (dev_inputs, dev_targets, mask, lengths) in \
+                enumerate(batches):
             b_tot = b_num + epoch * n_batches
             kld_mult = anneal(0.0, args.kld_mult, b_tot,
                               args.kld_anneal * n_batches)
-            # Burst deletion augmentation (trainer.py:234-235).
-            inputs = mseq.burst_delete(targets, args.burst_frac, lengths)
-            dev_inputs = self._to_device(inputs)
-            dev_targets = self._to_device(targets)
             self.rng, sub = jax.random.split(self.rng)
             timer.start()
             out = step_fn(
                 self.params, self.state, self.opt_state,
-                dev_inputs, dev_targets, jnp.asarray(mask),
+                dev_inputs, dev_targets, mask,
                 jnp.float32(kld_mult), jnp.float32(sum(lengths)), sub)
             if args.gradients:
                 self.params, self.state, self.opt_state, b_loss, \
@@ -535,8 +567,20 @@ class Trainer:
                 modalities=args.corrupt['modalities'])
 
         train_data = train_data.split(args.split, args.bylen)
-        train_loader = BatchLoader(train_data, batch_size=args.batch_size,
-                                   shuffle=True)
+        train_loader = None
+        if not getattr(args, 'host_loader', False):
+            try:
+                from .device_loader import DeviceTrainData
+                train_loader = DeviceTrainData(
+                    train_data, self.model.modalities,
+                    args.batch_size, args.burst_frac)
+            except Exception as e:
+                print("Device loader unavailable ({!r}); using host "
+                      "loader.".format(e))
+        if train_loader is None:
+            train_loader = BatchLoader(train_data,
+                                       batch_size=args.batch_size,
+                                       shuffle=True)
         test_loader = BatchLoader(test_data,
                                   batch_size=args.batch_sz_eval)
 

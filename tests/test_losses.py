@@ -112,3 +112,46 @@ def test_losses_are_sums_not_means():
     std2 = jnp.ones((4, 4, 3))
     l2 = nll_gauss(mean2, std2, x2)
     assert np.allclose(float(l2), 2 * float(l1), rtol=1e-5)
+
+
+def test_losses_immune_to_poison_at_masked_positions():
+    """inf/NaN at masked positions must not contaminate values OR the
+    positions' exclusion (reference masked_select semantics)."""
+    T, B, D = 4, 2, 3
+    mask = np.ones((T, B, 1), np.float32)
+    mask[2:] = 0.0  # timesteps 2,3 masked
+    m1 = np.zeros((T, B, D), np.float32)
+    s1 = np.ones((T, B, D), np.float32)
+    m2 = np.zeros((T, B, D), np.float32)
+    s2 = np.ones((T, B, D), np.float32)
+    clean = float(kld_gauss(jnp.array(m1), jnp.array(s1),
+                            jnp.array(m2), jnp.array(s2),
+                            jnp.array(mask)))
+    m1[2:] = np.inf
+    s2[3] = np.nan
+    poisoned = float(kld_gauss(jnp.array(m1), jnp.array(s1),
+                               jnp.array(m2), jnp.array(s2),
+                               jnp.array(mask)))
+    assert np.isfinite(poisoned) and abs(poisoned - clean) < 1e-6
+
+    x = np.zeros((T, B, D), np.float32)
+    mean = np.zeros((T, B, D), np.float32)
+    std = np.ones((T, B, D), np.float32)
+    mean[2] = np.inf
+    std[3] = 0.0
+    got = float(nll_gauss(jnp.array(mean), jnp.array(std),
+                          jnp.array(x), jnp.array(mask)))
+    assert np.isfinite(got)
+
+    theta = np.full((T, B, D), 0.5, np.float32)
+    theta[2:] = np.nan
+    got_b = float(nll_bernoulli(jnp.array(theta), jnp.array(x),
+                                jnp.array(mask)))
+    assert np.isfinite(got_b)
+
+    probs = np.full((T, B, 5), 0.2, np.float32)
+    probs[2:] = np.inf
+    labels = np.zeros((T, B, 1), np.float32)
+    got_c = float(nll_categorical(jnp.array(probs), jnp.array(labels),
+                                  jnp.array(mask)))
+    assert np.isfinite(got_c)

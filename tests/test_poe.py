@@ -70,13 +70,37 @@ def test_inverse_expert_cancels():
                                rtol=1e-3, atol=1e-4)
 
 
-def test_all_masked_gives_zero_mean_inf_std():
+def test_all_masked_gives_zero_mean_wide_std():
+    """No information ⇒ mean 0 and the floor-width posterior (the
+    reference returns std=inf / NaN here; we return a finite wide std
+    so downstream samples can't poison BatchNorm batch statistics)."""
     mean = jnp.ones((2, 3, 4))
     std = jnp.ones((2, 3, 4))
     mask = jnp.zeros((2, 3), bool)
     pm, ps = product_of_experts(mean, std, mask)
     assert np.all(np.asarray(pm) == 0.0)
-    assert np.all(np.isinf(np.asarray(ps)))
+    np.testing.assert_allclose(np.asarray(ps), 1e3, rtol=1e-5)
+
+
+def test_near_cancelled_precision_is_floored():
+    """Inverse experts that (numerically) cancel the total precision
+    must yield a finite wide posterior, not NaN (the smoothing-pass
+    epsilon-cancellation that NaNs the reference)."""
+    import jax
+
+    s = 0.1
+    mean = jnp.array([[[1.0]], [[2.0]]])
+    std = jnp.array([[[s]], [[-s]]])  # prec exactly cancels
+    pm, ps = product_of_experts(mean, std)
+    assert np.isfinite(np.asarray(pm)).all()
+    np.testing.assert_allclose(np.asarray(ps), 1e3, rtol=1e-5)
+
+    def f(m):
+        pm, ps = product_of_experts(m, std)
+        return jnp.sum(pm) + jnp.sum(ps)
+
+    g = jax.grad(f)(mean)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_nan_mask_default():

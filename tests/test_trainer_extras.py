@@ -92,3 +92,25 @@ def test_dks_through_trainer_bwd_skip(tiny_env, tmp_path):
     trainer.run_train(args)
     assert os.path.exists(os.path.join(str(tmp_path / "d"),
                                        "best.pth"))
+
+
+def test_nonfinite_updates_are_skipped():
+    """A NaN-grad batch must leave params unchanged; the next finite
+    batch updates normally (optax.apply_if_finite wrapping)."""
+    import jax.numpy as jnp
+    import optax
+
+    tx = optax.apply_if_finite(
+        optax.chain(optax.add_decayed_weights(1e-4), optax.adam(1e-2)),
+        max_consecutive_errors=10)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    bad = {"w": jnp.array([1.0, jnp.nan, 2.0])}
+    up, st = tx.update(bad, st, params)
+    p1 = optax.apply_updates(params, up)
+    np.testing.assert_array_equal(np.asarray(p1["w"]),
+                                  np.asarray(params["w"]))
+    good = {"w": jnp.ones((3,))}
+    up, st = tx.update(good, st, p1)
+    p2 = optax.apply_updates(p1, up)
+    assert not np.allclose(np.asarray(p2["w"]), np.asarray(p1["w"]))
