@@ -157,13 +157,21 @@ def run(trainable, name, config, local_dir="./",
 
 
 def _write_state(exp_dir, name, checkpoints):
+    # Ray 0.7 stored the trial config both at the checkpoint top level
+    # AND inside last_result — the reference analysis relies on both
+    # layouts (`trial['method']` unprefixed from the former,
+    # `trial['config:corrupt:uniform']` from the latter after
+    # flattening). Reproduce that contract.
+    out = []
+    for c in checkpoints:
+        last = {k2: v2 for k2, v2 in c["last_result"].items()
+                if not isinstance(v2, (list, dict))}
+        last["config"] = copy.deepcopy(c["config"])
+        entry = {k: v for k, v in c.items() if k != "last_result"}
+        entry["last_result"] = last
+        out.append(entry)
     state = {
-        "checkpoints": [
-            {k: v for k, v in c.items() if k != "last_result"}
-            | {"last_result": {k2: v2 for k2, v2 in
-                               c["last_result"].items()
-                               if not isinstance(v2, (list, dict))}}
-            for c in checkpoints],
+        "checkpoints": out,
         "runner_data": {"name": name},
         "stats": {"timestamp": time.time()},
     }

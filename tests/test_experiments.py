@@ -109,3 +109,22 @@ def test_spirals_suite_micro(tmp_path, monkeypatch):
     assert len(task_df) == 2
     assert np.isfinite(task_df[["recon", "half", "fwd", "bwd",
                                 "condgen"]].values).all()
+
+
+def test_state_has_both_config_layouts(tmp_path):
+    """The reference analysis reads trial['method'] (unprefixed) AND
+    trial['config:corrupt:uniform'] (prefixed) — Ray 0.7 stored config
+    at the checkpoint top level and inside last_result."""
+    def trainable(config, reporter):
+        reporter(mean_loss=1.0, training_iteration=1, done=True)
+
+    tune.run(trainable, name="layout_exp",
+             config={"method": "bfvi",
+                     "corrupt": {"uniform": 0.3},
+                     "seed": tune.grid_search([0, 1])},
+             local_dir=str(tmp_path))
+    ea = ExperimentAnalysis(str(tmp_path / "layout_exp"))
+    df = ea.dataframe()
+    assert "method" in df.columns
+    assert "config:corrupt:uniform" in df.columns
+    assert set(df["config:corrupt:uniform"]) == {0.3}
