@@ -122,6 +122,11 @@ def _build_parser():
                              'and print per-step timing summaries')
     parser.add_argument('--device', type=str, default='tpu',
                         help='jax platform to use (tpu/cpu)')
+    parser.add_argument('--mesh', type=int, default=0, metavar='N',
+                        help='data-parallel over an N-device mesh '
+                             '(0/1 = single device; batch axis is '
+                             'sharded over ICI, params/opt replicated, '
+                             'gradient all-reduce inserted by GSPMD)')
     parser.add_argument('--anomaly_check', action='store_true',
                         default=False,
                         help='enable jax_debug_nans NaN checking')
@@ -139,6 +144,15 @@ class Trainer:
     parser = _build_parser()
 
     def __init__(self, args):
+        # Platform selection must precede ANY jax device use (PRNGKey,
+        # device_put): the preloaded TPU backend pins the process once
+        # initialized (see tests/conftest.py).
+        if str(args.device).startswith("cpu"):
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+
         # Persistent XLA compilation cache: amortizes the remote-compile
         # cost across processes and experiment trials.
         try:
@@ -157,12 +171,6 @@ class Trainer:
 
         if args.anomaly_check:
             jax.config.update("jax_debug_nans", True)
-
-        if str(args.device).startswith("cpu"):
-            try:
-                jax.config.update("jax_platforms", "cpu")
-            except Exception:
-                pass
 
         args = self.pre_build_args(args)
 
@@ -226,6 +234,28 @@ class Trainer:
                 pass
 
         args = self.post_build_args(args)
+
+        # Data-parallel mesh (SURVEY §5.8: pjit-DP over ICI is the
+        # TPU-native scale-out; the reference is single-device).
+        self.mesh = None
+        n_mesh = int(getattr(args, 'mesh', 0) or 0)
+        if n_mesh > 1:
+            from ..parallel import make_mesh, replicated
+            avail = len(jax.devices())
+            if avail < n_mesh:
+                raise ValueError(
+                    f"--mesh {n_mesh} requested but only {avail} devices "
+                    f"are visible")
+            if args.batch_size % n_mesh:
+                raise ValueError(
+                    f"--batch_size {args.batch_size} must be divisible "
+                    f"by --mesh {n_mesh}")
+            self.mesh = make_mesh(n_mesh)
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+            print(f'Data-parallel mesh: {n_mesh} devices')
+
         self._train_step = None
         self._train_step_key = None
         self._fwd_cache = {}
@@ -255,6 +285,12 @@ class Trainer:
             return new_params, new_state, new_opt, loss
 
         donate = () if with_grads else (0, 2)
+        if self.mesh is not None:
+            from ..parallel import replicated
+            rep = replicated(self.mesh)
+            outs = (rep, rep, rep, rep) + ((rep,) if with_grads else ())
+            return jax.jit(train_step, out_shardings=outs,
+                           donate_argnums=donate)
         return jax.jit(train_step, donate_argnums=donate)
 
     def _get_train_step(self, args):
@@ -284,8 +320,20 @@ class Trainer:
     # train / evaluate (trainer.py:218-323)
     # ------------------------------------------------------------------
 
+    def _shard(self, x):
+        """Place one (T, B, ...) array on the mesh (batch axis sharded
+        when divisible, else replicated); identity when no mesh."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel import batch_sharding, replicated
+        if np.shape(x)[1] % len(self.mesh.devices.flat) == 0:
+            sh = batch_sharding(self.mesh, np.ndim(x), 1)
+        else:
+            sh = replicated(self.mesh)
+        return jax.device_put(jnp.asarray(x), sh)
+
     def _to_device(self, batch):
-        return {m: jnp.asarray(batch[m]) for m in batch
+        return {m: self._shard(batch[m]) for m in batch
                 if m in self.model.modalities}
 
     def train(self, loader, epoch, args):
@@ -315,8 +363,16 @@ class Trainer:
         from .device_loader import DeviceTrainData
         if isinstance(loader, DeviceTrainData):
             # HBM-resident pipeline: gather + burst deletion on device.
-            batches = ((i, t, m, le) for i, t, m, le in
-                       loader.epoch(args.seed * 100003 + epoch))
+            if self.mesh is None:
+                batches = ((i, t, m, le) for i, t, m, le in
+                           loader.epoch(args.seed * 100003 + epoch))
+            else:
+                # Reshard the gathered batch over the mesh's data axis.
+                batches = (({k: self._shard(v) for k, v in i.items()},
+                            {k: self._shard(v) for k, v in t.items()},
+                            self._shard(m), le)
+                           for i, t, m, le in
+                           loader.epoch(args.seed * 100003 + epoch))
         else:
             def _host_batches():
                 for targets, mask, lengths, _, _ in loader:
@@ -325,7 +381,7 @@ class Trainer:
                                                lengths)
                     yield (self._to_device(inputs),
                            self._to_device(targets),
-                           jnp.asarray(mask), lengths)
+                           self._shard(mask), lengths)
             batches = _host_batches()
 
         for b_num, (dev_inputs, dev_targets, mask, lengths) in \
@@ -481,6 +537,19 @@ class Trainer:
         df.to_csv(fname, mode='a', header=(not os.path.exists(fname)),
                   sep='\t')
 
+    def _restore(self, checkpoint):
+        """Load checkpoint params/state onto the right devices
+        (replicated over the mesh when one is active)."""
+        def place(t):
+            t = jax.tree_util.tree_map(jnp.asarray, t)
+            if self.mesh is not None:
+                from ..parallel import replicated
+                t = jax.device_put(t, replicated(self.mesh))
+            return t
+        self.params = place(checkpoint["params"])
+        if "state" in checkpoint:
+            self.state = place(checkpoint["state"])
+
     def save_checkpoint(self, modalities, path):
         save_checkpoint(path, modalities, self.params, self.state,
                         self.opt_state)
@@ -526,11 +595,7 @@ class Trainer:
             if not os.path.exists(path):
                 continue
             checkpoint = load_checkpoint(path)
-            self.params = jax.tree_util.tree_map(
-                jnp.asarray, checkpoint["params"])
-            if "state" in checkpoint:
-                self.state = jax.tree_util.tree_map(
-                    jnp.asarray, checkpoint["state"])
+            self._restore(checkpoint)
             print('--- Epoch {} ---'.format(epoch))
             _, metrics = self.evaluate(test_loader, args)
             loss = metrics[args.eval_metric]
@@ -542,11 +607,7 @@ class Trainer:
         print('=== Best Epoch : {} ==='.format(best_epoch))
         checkpoint = load_checkpoint(
             os.path.join(args.save_dir, "best.pth"))
-        self.params = jax.tree_util.tree_map(
-            jnp.asarray, checkpoint["params"])
-        if "state" in checkpoint:
-            self.state = jax.tree_util.tree_map(
-                jnp.asarray, checkpoint["state"])
+        self._restore(checkpoint)
         results, metrics = self.evaluate(test_loader, args)
         self.save_params(args)
         return best_epoch, metrics

@@ -19,7 +19,10 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-def test_dp_train_step_matches_single_device():
+def test_dp_train_step_matches_single_device_exact():
+    """MAP mode (sample=False, match_mult=0) is deterministic: the DP
+    step must reproduce the single-device loss AND updated params up to
+    float32 reduction-order noise."""
     model = MultiDMM(MODS, DIMS, z_dim=Z, h_dim=H)
     params, state = model.init(jax.random.PRNGKey(0))
     optimizer = optax.chain(optax.add_decayed_weights(1e-4),
@@ -31,7 +34,7 @@ def test_dp_train_step_matches_single_device():
              for m, d in zip(MODS, DIMS)}
     mask = np.ones((T, B, 1), np.float32)
     train_args = {"train_particles": 1, "match_particles": 2,
-                  "match_mult": 0.0}
+                  "match_mult": 0.0, "sample": False}
 
     key = jax.random.PRNGKey(7)
 
@@ -46,6 +49,8 @@ def test_dp_train_step_matches_single_device():
         return loss / (T * B), (loss, new_state)
 
     grads, (loss_1, _) = jax.grad(loss_fn, has_aux=True)(params)
+    updates_1, _ = optimizer.update(grads, opt_state, params)
+    new_p_1 = optax.apply_updates(params, updates_1)
 
     mesh = make_mesh(8)
     dp_step = make_dp_train_step(model, optimizer, {"a": 1.0, "b": 1.0},
@@ -57,14 +62,70 @@ def test_dp_train_step_matches_single_device():
     new_p, _, new_o, loss_dp = dp_step(
         p_rep, state, o_rep, sharded_batch, sharded_batch, sharded_mask,
         jnp.float32(1.0), jnp.float32(T * B), key)
-    # MAP parts of the loss agree; sampled parts use the same key but
-    # different partitioning of random bits — compare the deterministic
-    # total loss magnitude loosely and the updated params strictly for
-    # finiteness.
-    assert np.isfinite(float(loss_dp)) and np.isfinite(float(loss_1))
-    assert np.allclose(float(loss_dp), float(loss_1), rtol=0.3)
-    for leaf in jax.tree_util.tree_leaves(new_p):
-        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_1), rtol=2e-5)
+    flat_dp = jax.tree_util.tree_leaves_with_path(new_p)
+    flat_1 = dict(jax.tree_util.tree_leaves_with_path(new_p_1))
+    assert flat_dp and len(flat_dp) == len(flat_1)
+    for path, leaf in flat_dp:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_1[path]),
+            rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_trainer_mesh_flag_end_to_end(tmp_path):
+    """--mesh 8 trains, evaluates, and checkpoints on the virtual mesh
+    through the ordinary Trainer drivers."""
+    from multimodal_dmm_tpu.apps.spirals import SpiralsTrainer
+    from multimodal_dmm_tpu.data.spirals import gen_dataset
+
+    data_dir = str(tmp_path / "data")
+    gen_dataset(n_examples=20, n_train=12, timesteps=16,
+                data_dir=data_dir)
+    argv = ["--data_dir", data_dir, "--save_dir", str(tmp_path / "save"),
+            "--epochs", "2", "--eval_freq", "1", "--save_freq", "2",
+            "--batch_size", "8", "--device", "cpu", "--mesh", "8"]
+    args = SpiralsTrainer.parser.parse_args(argv)
+    trainer = SpiralsTrainer(args)
+    assert trainer.mesh is not None
+    trainer.run_train(args)
+    leaf = jax.tree_util.tree_leaves(trainer.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert leaf.sharding.is_fully_replicated
+    import os
+    assert os.path.exists(str(tmp_path / "save" / "best.pth"))
+    _, metrics = trainer.run_eval(args)
+    assert np.isfinite(metrics["mse"])
+
+
+def test_trainer_mesh_matches_single_device_map_loss(tmp_path):
+    """One MAP-mode epoch under --mesh 8 reproduces the single-device
+    epoch loss (same seed, host loader, deterministic objective)."""
+    from multimodal_dmm_tpu.apps.spirals import SpiralsTrainer
+    from multimodal_dmm_tpu.data.spirals import gen_dataset
+    from multimodal_dmm_tpu.training.loader import BatchLoader
+
+    data_dir = str(tmp_path / "data")
+    gen_dataset(n_examples=16, n_train=8, timesteps=16,
+                data_dir=data_dir)
+    losses = {}
+    for tag, mesh_n in (("single", 0), ("mesh", 8)):
+        argv = ["--data_dir", data_dir,
+                "--save_dir", str(tmp_path / ("save_" + tag)),
+                "--epochs", "1", "--batch_size", "8", "--device", "cpu",
+                "--burst_frac", "0.0", "--seed", "3",
+                "--train_args",
+                "{sample: false, match_mult: 0.0, train_particles: 1}"]
+        if mesh_n:
+            argv += ["--mesh", str(mesh_n)]
+        args = SpiralsTrainer.parser.parse_args(argv)
+        trainer = SpiralsTrainer(args)
+        loader = BatchLoader(trainer.train_data,
+                             batch_size=args.batch_size, shuffle=False)
+        losses[tag] = trainer.train(loader, 1, args)
+    np.testing.assert_allclose(losses["mesh"], losses["single"],
+                               rtol=2e-5)
 
 
 def test_dp_step_output_sharding_is_replicated():
