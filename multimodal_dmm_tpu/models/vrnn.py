@@ -80,16 +80,20 @@ class MultiVRNN(MultiDGTS):
         t_max, b_dim = some.shape[:2]
         present = [m for m in self.modalities if m in inputs]
 
-        # Pre-compute per-step inputs: zero-filled data + masks.
-        xs_data, xs_mask = {}, {}
+        # Pre-compute per-step inputs: zero-filled data + row masks +
+        # elementwise NaN patterns (for use_inputs imputation).
+        xs_data, xs_mask, xs_nan = {}, {}, {}
         for m in self.modalities:
             if m in inputs:
                 x = inputs[m].reshape(t_max, b_dim, -1)
-                xs_mask[m] = ~jnp.isnan(x).any(axis=-1)
-                xs_data[m] = jnp.where(jnp.isnan(x), 0.0, x)
+                xs_nan[m] = jnp.isnan(x)
+                xs_mask[m] = ~xs_nan[m].any(axis=-1)
+                xs_data[m] = jnp.where(xs_nan[m], 0.0, x)
             else:
                 xs_data[m] = jnp.zeros((t_max, b_dim, self._dim_of(m)))
                 xs_mask[m] = jnp.zeros((t_max, b_dim), bool)
+                xs_nan[m] = jnp.ones((t_max, b_dim, self._dim_of(m)),
+                                     bool)
 
         z0_mean = jnp.full((b_dim, self.z_dim), self.z0_mean)
         z0_std = jnp.full((b_dim, self.z_dim), self.z0_std)
@@ -100,7 +104,7 @@ class MultiVRNN(MultiDGTS):
         mods = self.modalities
 
         def cell(h, xs):
-            data_t, mask_t, t, key = xs
+            data_t, mask_t, nan_t, t, key = xs
             h_top = h[-1]
             pm, ps = tnn.gaussian_mlp_apply(params["prior"], h_top)
             prior_mean_t = jnp.where(t == 0, z0_mean, pm)
@@ -138,14 +142,16 @@ class MultiVRNN(MultiDGTS):
 
             if self.recur_mode == 'use_inputs':
                 # Impute missing inputs from own reconstructions
-                # (vrnn.py:205-217).
+                # (vrnn.py:205-217): elementwise NaN imputation for
+                # present modalities (gradient flows through the imputed
+                # values, as in the reference's index_put_), detached
+                # reconstructions for absent modalities.
                 phis = []
                 for m in mods:
                     if m in present:
-                        x_imp = jnp.where(mask_t[m][:, None],
-                                          data_t[m], rec[m][0])
+                        x_imp = jnp.where(nan_t[m], rec[m][0], data_t[m])
                     else:
-                        x_imp = rec[m][0]
+                        x_imp = jax.lax.stop_gradient(rec[m][0])
                     phis.append(jax.nn.relu(tnn.linear_apply(
                         params["phi"][m], x_imp)))
                 rnn_in = jnp.concatenate(phis + [phi_zq], axis=-1)
@@ -158,8 +164,9 @@ class MultiVRNN(MultiDGTS):
 
         data_seq = {m: xs_data[m] for m in mods}
         mask_seq = {m: xs_mask[m] for m in mods}
+        nan_seq = {m: xs_nan[m] for m in mods}
         _, (p_mean, p_std, i_mean, i_std, rec_seq) = jax.lax.scan(
-            cell, h0, (data_seq, mask_seq, t_idx, keys))
+            cell, h0, (data_seq, mask_seq, nan_seq, t_idx, keys))
 
         recon = {m: rec_seq[i] for i, m in enumerate(mods)}
         return ((i_mean, i_std), (p_mean, p_std), recon), state
