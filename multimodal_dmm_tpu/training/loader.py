@@ -20,12 +20,18 @@ class BatchLoader:
     """Iterates a MultiseqDataset in collated batches."""
 
     def __init__(self, dataset, batch_size, shuffle=False,
-                 pad_batch=True, max_len=None):
+                 pad_batch=True, max_len=None, len_bucket=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.pad_batch = pad_batch
         self.max_len = max_len
+        # Round each batch's time axis up to a multiple of ``len_bucket``
+        # so ragged-length batches hit a small set of compiled shapes
+        # (SURVEY §7.1: length-bucketed padding for XLA recompile
+        # control). Padded steps are masked out of every loss/metric, so
+        # bucketing is numerics-neutral.
+        self.len_bucket = int(len_bucket or 0)
 
     def __len__(self):
         n = len(self.dataset)
@@ -39,8 +45,13 @@ class BatchLoader:
         for start in range(0, n, self.batch_size):
             items = [self.dataset[int(i)] for i in
                      idx[start:start + self.batch_size]]
+            max_len = self.max_len
+            if max_len is None and self.len_bucket > 1:
+                t_max = max(d["length"] for d in items)
+                max_len = (-(-t_max // self.len_bucket)
+                           * self.len_bucket)
             batch, mask, lengths, order, ids = mseq.seq_collate_dict(
-                items, max_len=self.max_len)
+                items, max_len=max_len)
             n_real = len(lengths)
             if self.pad_batch and n_real < self.batch_size:
                 pad = self.batch_size - n_real

@@ -57,6 +57,10 @@ def _build_parser():
     parser.add_argument('--batch_size', type=int, default=100, metavar='N')
     parser.add_argument('--batch_sz_eval', type=int, default=None,
                         metavar='N')
+    parser.add_argument('--len_bucket', type=int, default=0, metavar='N',
+                        help='pad eval batches to multiples of N '
+                             'timesteps so ragged lengths reuse a small '
+                             'set of compiled shapes (0 = exact pad)')
     parser.add_argument('--split', type=int, default=1, metavar='N',
                         help='split each training sequence into N chunks')
     parser.add_argument('--bylen', action='store_true', default=False,
@@ -567,14 +571,16 @@ class Trainer:
         if 'train' in args.eval_sets:
             print("--Training--")
             loader = BatchLoader(self.train_data,
-                                 batch_size=args.batch_sz_eval)
+                                 batch_size=args.batch_sz_eval,
+                                 len_bucket=args.len_bucket)
             args.eval_set = 'train'
             results, train_metrics = self.evaluate(loader, args)
             self.save_results(results, args)
         if 'test' in args.eval_sets:
             print("--Testing--")
             loader = BatchLoader(self.test_data,
-                                 batch_size=args.batch_sz_eval)
+                                 batch_size=args.batch_sz_eval,
+                                 len_bucket=args.len_bucket)
             args.eval_set = 'test'
             results, test_metrics = self.evaluate(loader, args)
             self.save_results(results, args)
@@ -585,7 +591,8 @@ class Trainer:
         """Sweep saved epoch checkpoints for the best model
         (trainer.py:437-476)."""
         test_loader = BatchLoader(self.test_data,
-                                  batch_size=args.batch_sz_eval)
+                                  batch_size=args.batch_sz_eval,
+                                  len_bucket=args.len_bucket)
         best_loss, best_epoch = float('inf'), -1
         args.eval_set = None
         for epoch in range(args.save_freq, args.epochs + 1,
@@ -643,7 +650,8 @@ class Trainer:
                                        batch_size=args.batch_size,
                                        shuffle=True)
         test_loader = BatchLoader(test_data,
-                                  batch_size=args.batch_sz_eval)
+                                  batch_size=args.batch_sz_eval,
+                                  len_bucket=args.len_bucket)
 
         best_loss = float('inf')
         loss = float('nan')
