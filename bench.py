@@ -91,17 +91,22 @@ def main():
     log(f"compile+first step: {time.time() - t0:.1f}s "
         f"loss={float(loss):.1f}")
 
+    n_steps = 50
     times = []
-    for i in range(5):
+    for i in range(n_steps):
         key, sub = jax.random.split(key)
         t0 = time.time()
         params, state, opt_state, loss = step(
             params, state, opt_state, inputs, jnp.float32(1.0), sub)
         jax.block_until_ready(loss)
         times.append(time.time() - t0)
-        log(f"step {i}: {times[-1]*1000:.1f}ms")
+        if i < 5 or i % 10 == 0:
+            log(f"step {i}: {times[-1]*1000:.1f}ms")
 
-    med = sorted(times)[len(times) // 2]
+    times.sort()
+    med = times[len(times) // 2]
+    p90 = times[int(len(times) * 0.9)]
+    log(f"p50 {med*1000:.1f}ms  p90 {p90*1000:.1f}ms over {n_steps} steps")
     seqs_per_sec = B / med
 
     baseline_path = os.path.join(

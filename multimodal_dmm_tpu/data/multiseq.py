@@ -356,8 +356,10 @@ def seq_collate(data, time_first=True, max_len=None):
     """Collate tuple-form items, sorted by descending length
     (multiseq.py:355-370)."""
     padded = []
-    n_modalities = len(data[0])
-    lengths = np.zeros(n_modalities, dtype=int)
+    # Per-SEQUENCE max length across modalities (reference
+    # multiseq.py:358-363 — its `lengths` vector has one entry per
+    # batch item, not per modality).
+    lengths = np.zeros(len(data), dtype=int)
     data = sorted(data, key=lambda x: len(x[0]), reverse=True)
     cols = list(zip(*data))
     for modality in cols:

@@ -192,13 +192,19 @@ class MultiDMM(MultiDGTS):
         except Exception:
             return False
 
-    def _z_next(self, params, z, direction, glb_mean, glb_std):
+    def _packed_trans(self, params, direction):
+        """GTF weights packed (and bf16-cast) ONCE, outside any scan —
+        the scan body then runs 3 pre-fused matmuls with no per-step
+        concatenation or weight casts (tnn.gtf_pack)."""
+        dt = jnp.bfloat16 if self.bf16_gtf else None
+        return tnn.gtf_pack(params["trans"][direction], compute_dtype=dt)
+
+    def _z_next(self, trans, z, glb_mean, glb_std):
         """p(z_next|z) from particles z: (K, B, D) → (B, D) params
         (dmm.py:214-258): PoE(global prior, GTF(z_k)) per particle, then
-        moment-matched average over particles."""
-        dt = jnp.bfloat16 if self.bf16_gtf else None
-        q_mean, q_std = tnn.gtf_apply(params["trans"][direction], z,
-                                      self.min_std, compute_dtype=dt)
+        moment-matched average over particles. ``trans`` is a packed
+        transition from ``_packed_trans``."""
+        q_mean, q_std = tnn.gtf_apply_packed(trans, z, self.min_std)
         glb_mean_b = jnp.broadcast_to(glb_mean, q_mean.shape)
         glb_std_b = jnp.broadcast_to(glb_std, q_std.shape)
         pp_mean, pp_std = product_of_experts(
@@ -206,9 +212,25 @@ class MultiDMM(MultiDGTS):
             jnp.stack([glb_std_b, q_std]))
         return mean_of_experts(pp_mean, pp_std)
 
+    def _filter_eps(self, rng, t_max, n_particles, b_dim, do_sample,
+                    sample_init):
+        """The filtering scan's Gaussian noise stream (T, K, B, D),
+        drawn in ONE batched RNG kernel. Per-step slices are
+        bit-identical to what per-step ``sample_gauss`` calls would
+        draw from ``split(rng, t_max)`` (dmm.py:398-405)."""
+        keys = jax.random.split(rng, t_max)
+        if do_sample:
+            return jax.vmap(lambda kk: jax.random.normal(
+                kk, (n_particles, b_dim, self.z_dim)))(keys)
+        if sample_init:
+            eps0 = jax.random.normal(keys[0], (1, b_dim, self.z_dim))
+            return jnp.zeros(
+                (t_max, 1, b_dim, self.z_dim)).at[0].set(eps0)
+        return jnp.zeros((t_max, 1, b_dim, self.z_dim))
+
     def z_filter(self, params, z_mean, z_std, z_masks, rng,
                  direction="fwd", sample=True, n_particles=1,
-                 sample_init=False, use_pallas=False):
+                 sample_init=False, use_pallas=False, eps=None):
         """Filtering scan (dmm.py:319-412).
 
         z_mean/z_std: (M', T, B, D); z_masks: (M', T, B). Returns
@@ -218,6 +240,11 @@ class MultiDMM(MultiDGTS):
         into one VMEM-resident TPU kernel (gradient-free paths only —
         the kernel has no autodiff rule, so training keeps the XLA
         composite that `jax.grad` differentiates).
+
+        ``eps``: optional pre-drawn noise (T, K, B, D) in SCAN time
+        order (i.e. already flipped for a backward pass); when given,
+        ``rng`` is unused and K overrides ``n_particles``. Callers use
+        this to batch several logical passes into one scan.
         """
         n_exp, t_max, b_dim, z_dim = z_mean.shape
         glb_mean, glb_std = self.prior_params(params, (b_dim, self.z_dim))
@@ -231,22 +258,15 @@ class MultiDMM(MultiDGTS):
             xs_std = xs_std[::-1]
             xs_mask = xs_mask[::-1]
         is_first = (jnp.arange(t_max) == 0)
-        keys = jax.random.split(rng, t_max)
         do_sample = sample or n_particles > 1
+        if eps is None:
+            eps = self._filter_eps(rng, t_max, n_particles, b_dim,
+                                   do_sample, sample_init)
 
         if self._scan_kernel_enabled():
-            # Whole-loop Pallas kernel path. The eps stream reproduces
-            # exactly what the scan cell would draw from the same keys.
+            # Whole-loop Pallas kernel path; eps reproduces exactly
+            # what the scan cell would draw from the same keys.
             from ..ops.pallas.bfvi_scan import bfvi_scan
-            if do_sample:
-                eps = jax.vmap(lambda kk: jax.random.normal(
-                    kk, (n_particles, b_dim, z_dim)))(keys)
-            elif sample_init:
-                eps0 = jax.random.normal(keys[0], (1, b_dim, z_dim))
-                eps = jnp.zeros((t_max, 1, b_dim, z_dim)
-                                ).at[0].set(eps0)
-            else:
-                eps = jnp.zeros((t_max, 1, b_dim, z_dim))
             p_mean, p_std, i_mean, i_std, samples = bfvi_scan(
                 xs_mean, xs_std, xs_mask.astype(jnp.float32),
                 glb_mean, glb_std, params["trans"][direction], eps,
@@ -257,22 +277,26 @@ class MultiDMM(MultiDGTS):
                 samples = samples[::-1]
             return (i_mean, i_std), (p_mean, p_std), samples
 
+        # Hoist everything loop-invariant or data-independent out of the
+        # scan body: packed/cast GTF weights, and the whole Gaussian
+        # noise stream (ONE batched RNG kernel instead of T small ones;
+        # same keys → bit-identical draws to per-step sampling).
+        trans = self._packed_trans(params, direction)
+        k_init = eps.shape[1]
+
         def cell(z_prev, xs):
-            om, os, omask, first, key = xs
+            om, os, omask, first, eps_t = xs
             # Conditional prior p(z_t|z_prev); replaced by the global
             # prior at the first step of the pass (dmm.py:376-382).
-            pm, ps = self._z_next(params, z_prev, direction,
-                                  glb_mean, glb_std)
+            pm, ps = self._z_next(trans, z_prev, glb_mean, glb_std)
             prior_mean_t = jnp.where(first, glb_mean, pm)
             prior_std_t = jnp.where(first, glb_std, ps)
             if do_sample and use_pallas:
                 # Fused PoE + sampling kernel (same RNG stream).
                 from ..ops.pallas.poe_cell import poe_sample_cell
-                eps = jax.random.normal(
-                    key, (n_particles, b_dim, z_dim))
                 infer_mean_t, infer_std_t, z_t, sample_out = \
                     poe_sample_cell(prior_mean_t, prior_std_t, om, os,
-                                    omask.astype(bool), eps)
+                                    omask.astype(bool), eps_t)
                 return z_t, (prior_mean_t, prior_std_t,
                              infer_mean_t, infer_std_t, sample_out)
             # PoE of [cond prior; per-expert observations] (dmm.py:387-393).
@@ -282,25 +306,16 @@ class MultiDMM(MultiDGTS):
                 [jnp.ones((1, b_dim), bool), omask.astype(bool)], axis=0)
             infer_mean_t, infer_std_t = product_of_experts(
                 all_mean, all_std, all_mask)
-            # Particle sampling (dmm.py:398-405).
-            if do_sample:
-                z_t = self.sample_gauss(
-                    key, infer_mean_t, infer_std_t,
-                    (n_particles,) + infer_mean_t.shape)
-            elif sample_init:
-                z_s = self.sample_gauss(key, infer_mean_t, infer_std_t,
-                                        (1,) + infer_mean_t.shape)
-                z_t = jnp.where(first, z_s, infer_mean_t[None])
-            else:
-                z_t = infer_mean_t[None]
+            # Particle sampling (dmm.py:398-405) from the presampled
+            # noise: mean + std·eps ≡ sample_gauss with the same key.
+            z_t = infer_mean_t[None] + infer_std_t[None] * eps_t
             sample_out = jnp.mean(z_t, axis=0)
             return z_t, (prior_mean_t, prior_std_t,
                          infer_mean_t, infer_std_t, sample_out)
 
-        k_init = n_particles if do_sample else 1
         z0 = jnp.zeros((k_init, b_dim, self.z_dim))
         _, (p_mean, p_std, i_mean, i_std, samples) = jax.lax.scan(
-            cell, z0, (xs_mean, xs_std, xs_mask, is_first, keys),
+            cell, z0, (xs_mean, xs_std, xs_mask, is_first, eps),
             unroll=self.scan_unroll)
 
         if direction == "bwd":
@@ -318,19 +333,23 @@ class MultiDMM(MultiDGTS):
         n_steps = t_max - int(inclusive)
         keys = jax.random.split(rng, max(n_steps, 1))
         do_sample = sample or n_particles > 1
+        trans = self._packed_trans(params, direction)
+        b_dim_ = init_mean.shape[0]
+        if do_sample:
+            eps = jax.vmap(lambda kk: jax.random.normal(
+                kk, (n_particles, b_dim_, self.z_dim)))(keys[:n_steps])
+        else:
+            eps = jnp.zeros((n_steps, 1, b_dim_, self.z_dim))
 
-        def cell(carry, key):
+        def cell(carry, xs):
             mean_t, std_t = carry
-            if do_sample:
-                z_t = self.sample_gauss(key, mean_t, std_t,
-                                        (n_particles,) + mean_t.shape)
-            else:
-                z_t = mean_t[None]
-            nxt = self._z_next(params, z_t, direction, glb_mean, glb_std)
+            eps_t = xs
+            z_t = mean_t[None] + std_t[None] * eps_t
+            nxt = self._z_next(trans, z_t, glb_mean, glb_std)
             return nxt, nxt
 
         _, (means, stds) = jax.lax.scan(
-            cell, (init_mean, init_std), keys[:n_steps])
+            cell, (init_mean, init_std), eps)
         if inclusive:
             means = jnp.concatenate([init_mean[None], means], axis=0)
             stds = jnp.concatenate([init_std[None], stds], axis=0)
@@ -438,6 +457,12 @@ class MultiDMM(MultiDGTS):
         flt_particles = kwargs.pop("flt_particles", 1)
         kwargs.pop("smt_particles", None)
         sample = kwargs.pop("sample", True)
+        # Merge the two modes' filtering scans into one (see
+        # _fused_two_mode_losses). Off by default: the K=1 group's
+        # particle-mean reduction reintroduces ≤ulp f32 noise, so the
+        # exactness-tested default composition stays untouched; the
+        # Trainer turns it on for throughput.
+        merge_mode_scans = kwargs.pop("merge_mode_scans", False)
 
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         loss = 0.0
@@ -486,6 +511,25 @@ class MultiDMM(MultiDGTS):
         vmat = jnp.stack(rows)  # (V, M)
 
         dec_state = state["dec"]
+        fdir = "fwd" if f_mode in ("ffilter", "bsmooth") else "bwd"
+        sdir = "fwd" if s_mode in ("ffilter", "bsmooth") else "bwd"
+        can_merge = (merge_mode_scans
+                     and f_mode in ("ffilter", "bfilter")
+                     and s_mode in ("fsmooth", "bsmooth")
+                     and fdir == sdir
+                     and flt_particles in (1, train_particles)
+                     and not kwargs.get("sample_init", False))
+        if can_merge:
+            f_loss, s_loss, dec_state = self._fused_two_mode_losses(
+                params, dec_state, obs_mean, obs_std, obs_mask, vmat,
+                targets, mask, kld_mult, rec_mults, k3, k4,
+                f_mode=f_mode, s_mode=s_mode,
+                flt_particles=flt_particles,
+                train_particles=train_particles, sample=sample,
+                train=train, **kwargs)
+            loss += f_mult * f_loss + s_mult * s_loss
+            return loss, {"enc": enc_state, "dec": dec_state}
+
         for mult, mode, fp, key in ((f_mult, f_mode, flt_particles, k3),
                                     (s_mult, s_mode, train_particles,
                                      k4)):
@@ -496,6 +540,108 @@ class MultiDMM(MultiDGTS):
             loss += mult * mode_loss
         return loss, {"enc": enc_state, "dec": dec_state}
 
+    def _fused_two_mode_losses(self, params, dec_state, obs_mean,
+                               obs_std, obs_mask, vmat, targets, mask,
+                               kld_mult, rec_mults, kf, ks, f_mode,
+                               s_mode, flt_particles, train_particles,
+                               sample, smt_particles=1,
+                               sample_init=False, train=True):
+        """Both objective modes' filtering passes in ONE scan.
+
+        The filtering-mode pass (e.g. bfilter, K=1) and the smoothing
+        mode's filtering pass (e.g. fsmooth's backward pass, K=25) run
+        over identical expert tensors in the same direction and differ
+        only in particle count and RNG stream — so they batch into one
+        scan of 2·V·B columns. The K=1 group's noise is broadcast
+        across the K particles: every particle follows the identical
+        trajectory and the particle-mean reductions reproduce the K=1
+        math (up to ≤ulp-level f32 averaging noise). Halves the number
+        of sequential scans on the training path; the per-mode decodes
+        stay separate so BatchNorm batch statistics are unchanged.
+        """
+        n_mods, t_max, b_dim, z_dim = obs_mean.shape
+        v_dim = vmat.shape[0]
+        vb = v_dim * b_dim
+        zm, zs, om = self._variant_experts(obs_mean, obs_std, obs_mask,
+                                           vmat)
+
+        # Same key derivation as two _fused_mode_loss calls.
+        kf_flt, _ = jax.random.split(kf)
+        ks_flt, ks_smt = jax.random.split(ks)
+        direction = "fwd" if f_mode in ("ffilter", "bsmooth") else "bwd"
+        eps_f = self._filter_eps(kf_flt, t_max, flt_particles, vb,
+                                 sample or flt_particles > 1, False)
+        eps_s = self._filter_eps(ks_flt, t_max, train_particles, vb,
+                                 sample or train_particles > 1, False)
+        k_dim = max(eps_f.shape[1], eps_s.shape[1])
+        eps_f = jnp.broadcast_to(eps_f, (t_max, k_dim, vb, z_dim))
+        eps_s = jnp.broadcast_to(eps_s, (t_max, k_dim, vb, z_dim))
+        eps = jnp.concatenate([eps_f, eps_s], axis=2)
+
+        two = lambda x: jnp.concatenate([x, x], axis=2)  # noqa: E731
+        infer, prior, z_samples = self.z_filter(
+            params, two(zm), two(zs), two(om), kf_flt,
+            direction=direction, sample=sample, n_particles=k_dim,
+            eps=eps)
+        f_infer = (infer[0][:, :vb], infer[1][:, :vb])
+        f_prior = (prior[0][:, :vb], prior[1][:, :vb])
+        f_samples = z_samples[:, :vb]
+        s_prior = (prior[0][:, vb:], prior[1][:, vb:])
+
+        # Smoothing pass for the s mode over its filter priors.
+        s_direction = "fwd" if s_mode == "fsmooth" else "bwd"
+        szm, szs, som = self._smooth_experts(params, zm, zs, om,
+                                             s_prior)
+        s_infer, s_prior, s_samples = self.z_filter(
+            params, szm, szs, som, ks_smt, direction=s_direction,
+            sample=sample, n_particles=smt_particles,
+            sample_init=sample_init)
+
+        # Per-mode decodes (BatchNorm batch statistics unchanged vs the
+        # unmerged path), then the shared variant objective.
+        f_recon, dec_state = self.decode(params, dec_state, f_samples,
+                                         train)
+        s_recon, dec_state = self.decode(params, dec_state, s_samples,
+                                         train)
+        f_loss = self._variant_objective(f_infer, f_prior, f_recon,
+                                         vmat, targets, mask, kld_mult,
+                                         rec_mults)
+        s_loss = self._variant_objective(s_infer, s_prior, s_recon,
+                                         vmat, targets, mask, kld_mult,
+                                         rec_mults)
+        return f_loss, s_loss, dec_state
+
+    def _variant_experts(self, obs_mean, obs_std, obs_mask, vmat):
+        """Stack the (1 + n_mods) loss variants into one (V·B) batch:
+        per-variant expert masks (M,T,B)·(V,M) → (M,T,VB) and the
+        observation experts broadcast over the variant axis."""
+        n_mods, t_max, b_dim, z_dim = obs_mean.shape
+        v_dim = vmat.shape[0]
+        vb = v_dim * b_dim
+        om = (obs_mask.astype(jnp.float32)[:, :, None, :]
+              * jnp.transpose(vmat)[:, None, :, None])
+        om = om.reshape(n_mods, t_max, vb)
+        tile = lambda x: jnp.broadcast_to(  # noqa: E731
+            x[:, :, None], (n_mods, t_max, v_dim, b_dim, z_dim)
+        ).reshape(n_mods, t_max, vb, z_dim)
+        return tile(obs_mean), tile(obs_std), om
+
+    def _smooth_experts(self, params, zm, zs, om, flt_prior):
+        """Append the filter-prior + inverse-global-prior experts for a
+        smoothing pass (dmm.py:473-489)."""
+        n_mods, t_max, vb, z_dim = zm.shape
+        glb_mean, glb_std = self.prior_params(params, (t_max, vb,
+                                                       self.z_dim))
+        inv_mean = jnp.broadcast_to(glb_mean, (t_max, vb, z_dim))
+        inv_std = -jnp.broadcast_to(glb_std, (t_max, vb, z_dim))
+        inv_mask = jnp.ones((t_max, vb))
+        flt_mean, flt_std = flt_prior
+        flt_mask = jnp.ones((t_max, vb)).at[-1].set(0.0)
+        cat = lambda a, b: jnp.concatenate([a, b[None]], axis=0)  # noqa: E731
+        return (cat(cat(zm, flt_mean), inv_mean),
+                cat(cat(zs, flt_std), inv_std),
+                cat(cat(om, flt_mask), inv_mask))
+
     def _fused_mode_loss(self, params, dec_state, obs_mean, obs_std,
                          obs_mask, vmat, targets, mask, kld_mult,
                          rec_mults, rng, mode, sample, flt_particles,
@@ -505,15 +651,8 @@ class MultiDMM(MultiDGTS):
         n_mods, t_max, b_dim, z_dim = obs_mean.shape
         v_dim = vmat.shape[0]
         vb = v_dim * b_dim
-
-        # Per-variant expert masks: (M,T,B)·(V,M) → (M,T,V,B) → (M,T,VB)
-        om = (obs_mask.astype(jnp.float32)[:, :, None, :]
-              * jnp.transpose(vmat)[:, None, :, None])
-        om = om.reshape(n_mods, t_max, vb)
-        tile = lambda x: jnp.broadcast_to(  # noqa: E731
-            x[:, :, None], (n_mods, t_max, v_dim, b_dim, z_dim)
-        ).reshape(n_mods, t_max, vb, z_dim)
-        zm, zs = tile(obs_mean), tile(obs_std)
+        zm, zs, om = self._variant_experts(obs_mean, obs_std, obs_mask,
+                                           vmat)
 
         k_flt, k_smt = jax.random.split(rng)
         direction = "fwd" if mode in ("ffilter", "bsmooth") else "bwd"
@@ -525,30 +664,32 @@ class MultiDMM(MultiDGTS):
             sample_init=flt_init)
         if mode in ("fsmooth", "bsmooth"):
             direction = "fwd" if mode == "fsmooth" else "bwd"
-            glb_mean, glb_std = self.prior_params(
-                params, (t_max, vb, self.z_dim))
-            inv_mean = jnp.broadcast_to(glb_mean, (t_max, vb, z_dim))
-            inv_std = -jnp.broadcast_to(glb_std, (t_max, vb, z_dim))
-            inv_mask = jnp.ones((t_max, vb))
-            flt_mean, flt_std = prior
-            flt_mask = jnp.ones((t_max, vb)).at[-1].set(0.0)
-            cat = lambda a, b: jnp.concatenate(  # noqa: E731
-                [a, b[None]], axis=0)
+            szm, szs, som = self._smooth_experts(params, zm, zs, om,
+                                                 prior)
             infer, prior, z_samples = self.z_filter(
-                params, cat(cat(zm, flt_mean), inv_mean),
-                cat(cat(zs, flt_std), inv_std),
-                cat(cat(om, flt_mask), inv_mask),
+                params, szm, szs, som,
                 k_smt, direction=direction, sample=sample,
                 n_particles=smt_particles, sample_init=sample_init)
 
         recon, dec_state = self.decode(params, dec_state, z_samples,
                                        train)
+        loss = self._variant_objective(infer, prior, recon, vmat,
+                                       targets, mask, kld_mult,
+                                       rec_mults)
+        return loss, dec_state
 
-        # KLD over every variant, masked by the (tiled) length mask —
-        # equals the sum of the reference's per-forward KLDs.
+    def _variant_objective(self, infer, prior, recon, vmat, targets,
+                           mask, kld_mult, rec_mults):
+        """KLD + weighted reconstruction over the stacked variant batch
+        — equals the sum of the reference's per-forward losses."""
+        v_dim = vmat.shape[0]
+        t_max = mask.shape[0]
+        b_dim = mask.shape[1]
+
+        # KLD over every variant, masked by the (tiled) length mask.
         mask_v = jnp.broadcast_to(mask.astype(jnp.float32)[:, None],
                                   (t_max, v_dim) + mask.shape[1:])
-        mask_v = mask_v.reshape((t_max, vb) + mask.shape[2:])
+        mask_v = mask_v.reshape((t_max, v_dim * b_dim) + mask.shape[2:])
         loss = kld_mult * losses.kld_gauss(
             infer[0], infer[1], prior[0], prior[1], mask_v)
 
@@ -578,7 +719,7 @@ class MultiDMM(MultiDGTS):
             else:
                 loss += mult * losses.nll_gauss(rec[0], rec[1], x,
                                                 wmask)
-        return loss, dec_state
+        return loss
 
 
 if __name__ == "__main__":

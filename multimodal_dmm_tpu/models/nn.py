@@ -123,6 +123,59 @@ def gtf_apply(p, z, min_std=0.0, compute_dtype=None):
     return z_mean, z_std
 
 
+def gtf_pack(p, compute_dtype=None):
+    """Pre-pack GTF weights for the scan hot path.
+
+    Concatenates the three z-side input projections (gate_1, nonlin_1,
+    z_lin) into ONE matmul, stacks the two second-stage projections
+    (gate_2, nonlin_2) into a batched matmul, and optionally casts the
+    weights to the MXU compute dtype — all ONCE, outside the scan, so
+    the scan body re-does neither the concatenation nor the casts every
+    timestep. ``gtf_apply_packed(gtf_pack(p), z)`` computes exactly
+    ``gtf_apply(p, z)`` (each output column block sees the identical
+    contraction).
+    """
+    w1 = jnp.concatenate([p["gate_1"]["w"], p["nonlin_1"]["w"],
+                          p["z_lin"]["w"]], axis=1)
+    b1 = jnp.concatenate([p["gate_1"]["b"], p["nonlin_1"]["b"],
+                          p["z_lin"]["b"]])
+    w2 = jnp.stack([p["gate_2"]["w"], p["nonlin_2"]["w"]])
+    b2 = jnp.stack([p["gate_2"]["b"], p["nonlin_2"]["b"]])
+    w3, b3 = p["z_to_std"]["w"], p["z_to_std"]["b"]
+    if compute_dtype is not None:
+        w1 = w1.astype(compute_dtype)
+        w2 = w2.astype(compute_dtype)
+        w3 = w3.astype(compute_dtype)
+    return {"w1": w1, "b1": b1, "w2": w2, "b2": b2, "w3": w3, "b3": b3,
+            "h_dim": int(p["gate_1"]["w"].shape[1])}
+
+
+def gtf_apply_packed(pk, z, min_std=0.0):
+    """GTF transition from pre-packed weights (see ``gtf_pack``).
+
+    Three matmuls deep instead of four, three matmul ops instead of
+    six; biases and activations stay float32 regardless of the packed
+    weight dtype (matching ``gtf_apply``'s compute_dtype contract).
+    """
+    h_dim = pk["h_dim"]
+    cd = pk["w1"].dtype
+    zc = z.astype(cd)
+    a1 = jnp.matmul(zc, pk["w1"]).astype(jnp.float32) + pk["b1"]
+    g1 = jax.nn.relu(a1[..., :h_dim])
+    n1 = jax.nn.relu(a1[..., h_dim:2 * h_dim])
+    z_lin = a1[..., 2 * h_dim:]
+    x2 = jnp.stack([g1, n1]).astype(cd)          # (2, ..., H)
+    a2 = jnp.einsum("p...h,phd->p...d", x2, pk["w2"]).astype(jnp.float32)
+    a2 = a2 + pk["b2"].reshape((2,) + (1,) * (a2.ndim - 2) + (-1,))
+    gate = jax.nn.sigmoid(a2[0])
+    z_nonlin = a2[1]
+    z_std = jax.nn.softplus(
+        jnp.matmul(z_nonlin.astype(cd), pk["w3"]).astype(jnp.float32)
+        + pk["b3"]) + min_std
+    z_mean = (1 - gate) * z_lin + gate * z_nonlin
+    return z_mean, z_std
+
+
 # ---------------------------------------------------------------------------
 # GRU (torch-equation compatible), used by DKS/VRNN inference networks
 # ---------------------------------------------------------------------------

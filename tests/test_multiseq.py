@@ -172,3 +172,24 @@ def test_deletion_ops():
 
     # Input batch must not be mutated
     assert not np.any(np.isnan(batch["a"]))
+
+
+def test_seq_collate_batch_larger_than_modalities():
+    """Regression: tuple-form seq_collate's lengths vector is
+    per-SEQUENCE (reference multiseq.py:359 zeroes len(data) entries —
+    the batch size — despite the `n_modalities` name). A 10-item batch
+    of 4-modality items used to raise a broadcast error."""
+    from multimodal_dmm_tpu.data.multiseq import seq_collate
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(10):
+        t = 5 + i
+        items.append(tuple(rng.rand(t, d) for d in (3, 1, 2, 2)))
+    out = seq_collate(items)
+    *mods, mask, lengths = out
+    assert len(mods) == 4
+    assert lengths == sorted(lengths, reverse=True)
+    assert lengths == list(range(14, 4, -1))
+    for m in mods:
+        assert m.shape[:2] == (14, 10)
+    assert mask.shape[:2] == (14, 10)

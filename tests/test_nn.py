@@ -158,3 +158,32 @@ def test_gtf_gate_interpolation():
                              jnn.relu(tnn.linear_apply(p["nonlin_1"], z)))
     want = (1 - gate) * z_lin + gate * z_non
     np.testing.assert_allclose(np.asarray(mean), np.asarray(want), rtol=1e-5)
+
+
+def test_gtf_packed_matches_unpacked():
+    """gtf_apply_packed(gtf_pack(p), z) must equal gtf_apply(p, z) —
+    the packed form only re-groups the same contractions."""
+    key = jax.random.PRNGKey(3)
+    p = tnn.gtf_init(key, 5, 20)
+    for shape in [(7, 5), (3, 7, 5)]:
+        z = jax.random.normal(jax.random.PRNGKey(4), shape)
+        mean, std = tnn.gtf_apply(p, z, min_std=1e-3)
+        pk = tnn.gtf_pack(p)
+        pmean, pstd = tnn.gtf_apply_packed(pk, z, min_std=1e-3)
+        np.testing.assert_allclose(np.asarray(pmean), np.asarray(mean),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pstd), np.asarray(std),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_gtf_packed_bf16_close_to_f32():
+    """bf16-packed GTF tracks the f32 GTF within bf16 tolerance."""
+    key = jax.random.PRNGKey(5)
+    p = tnn.gtf_init(key, 8, 16)
+    z = jax.random.normal(jax.random.PRNGKey(6), (11, 8))
+    mean, std = tnn.gtf_apply(p, z, min_std=1e-3)
+    pk = tnn.gtf_pack(p, compute_dtype=jnp.bfloat16)
+    pmean, pstd = tnn.gtf_apply_packed(pk, z, min_std=1e-3)
+    assert pmean.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(pmean), np.asarray(mean),
+                               rtol=0.05, atol=0.05)
