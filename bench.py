@@ -38,8 +38,15 @@ def main():
     T, B, Z = 25, 25, 256
     log("bench device:", jax.devices()[0])
     bf16 = "--bf16" in sys.argv
+    merge = "--merge" in sys.argv
+    bf16_gtf = "--bf16_gtf" in sys.argv
+    unroll = 1
+    if "--unroll" in sys.argv:
+        unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
     dt = jnp.bfloat16 if bf16 else None
-    log("codec compute dtype:", "bf16" if bf16 else "f32")
+    log("codec compute dtype:", "bf16" if bf16 else "f32",
+        "| merge_mode_scans:", merge, "| unroll:", unroll,
+        "| bf16_gtf:", bf16_gtf)
 
     model = MultiDMM(
         ["video", "person", "action"],
@@ -48,7 +55,7 @@ def main():
         encoders={"video": image_encoder_codec(Z, gauss_out=True,
                                                compute_dtype=dt)},
         decoders={"video": image_decoder_codec(Z, compute_dtype=dt)},
-        z_dim=Z, h_dim=Z)
+        z_dim=Z, h_dim=Z, scan_unroll=unroll, bf16_gtf=bf16_gtf)
     params, state = model.init(jax.random.PRNGKey(0))
 
     optimizer = optax.chain(optax.add_decayed_weights(1e-4),
@@ -72,7 +79,7 @@ def main():
         def loss_fn(p):
             loss, new_state = model.step(
                 p, state, inputs, mask, kld_mult, rec_mults, key,
-                targets=inputs, train=True)
+                targets=inputs, train=True, merge_mode_scans=merge)
             return loss / (T * B), (loss, new_state)
 
         grads, (loss, new_state) = jax.grad(loss_fn, has_aux=True)(params)
