@@ -35,6 +35,9 @@ parser.add_argument('--exp_name', type=str, default="spirals_suite",
                     help='experiment name')
 parser.add_argument('--config', type=yaml.safe_load, default={},
                     help='trial configuration arguments')
+parser.add_argument('--no_isolate', action='store_true', default=False,
+                    help='run trials in-process instead of one fresh '
+                         'subprocess per trial')
 
 TASKS = ['recon', 'half', 'fwd', 'bwd', 'condgen']
 
@@ -64,7 +67,9 @@ def run(args):
     tune.run("spirals_tune", name=args.exp_name, config=config,
              local_dir=args.local_dir,
              resources_per_trial={"cpu": args.trial_cpus,
-                                  "gpu": args.trial_gpus})
+                                  "gpu": args.trial_gpus},
+             isolate=None if args.no_isolate else
+             "multimodal_dmm_tpu.apps.spirals:SpiralsTrainer")
 
 
 def analyze(args):

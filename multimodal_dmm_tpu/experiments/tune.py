@@ -99,12 +99,21 @@ def _tag(i, config, grid_keys):
 
 
 def run(trainable, name, config, local_dir="./",
-        resources_per_trial=None, trial_procs=1):
+        resources_per_trial=None, trial_procs=1, isolate=None):
     """tune.run equivalent: expand the grid and execute every trial.
 
     ``trainable`` is a registered name or a callable ``fn(config,
     reporter)``. Returns the list of checkpoint dicts (also persisted to
     experiment_state-*.json).
+
+    ``isolate``: optional ``"module.path:TrainerClass"`` spec. When
+    given, each trial runs in its OWN subprocess (``python -m
+    multimodal_dmm_tpu.experiments.tune --worker ...``) instead of
+    in-process. Long in-process sweeps accumulate jit-cache /
+    allocator state that progressively degrades per-trial throughput
+    (observed ~10-50x on late trials of a 15-trial TPU sweep); a fresh
+    process per trial keeps every trial at first-trial speed for ~20 s
+    of startup overhead each.
     """
     if isinstance(trainable, str):
         fn = _REGISTRY[trainable]
@@ -134,26 +143,77 @@ def run(trainable, name, config, local_dir="./",
         print("== Trial {} ({}) ==".format(trial_id, tag))
         reporter = Reporter(logdir)
         status = "TERMINATED"
-        try:
-            os.chdir(logdir)
-            fn(copy.deepcopy(trial_config), reporter)
-        except StopTrial:
-            pass  # trial self-terminated (done=True / NaN loss)
-        except Exception as e:  # trial failure should not kill the sweep
-            print("Trial {} errored: {!r}".format(trial_id, e))
-            status = "ERROR"
-        finally:
-            os.chdir(root)
+        if isolate is not None:
+            status, last_result = _run_trial_subprocess(isolate, logdir)
+        else:
+            try:
+                os.chdir(logdir)
+                fn(copy.deepcopy(trial_config), reporter)
+            except StopTrial:
+                pass  # trial self-terminated (done=True / NaN loss)
+            except Exception as e:  # failure should not kill the sweep
+                print("Trial {} errored: {!r}".format(trial_id, e))
+                status = "ERROR"
+            finally:
+                os.chdir(root)
+            last_result = reporter.last_result
         checkpoints.append({
             "trial_id": trial_id,
             "experiment_tag": tag,
             "logdir": logdir,
             "status": status,
             "config": copy.deepcopy(trial_config),
-            "last_result": reporter.last_result,
+            "last_result": last_result,
         })
         _write_state(exp_dir, name, checkpoints)
     return checkpoints
+
+
+def _run_trial_subprocess(spec, logdir):
+    """Execute one trial in a fresh interpreter; the worker reads
+    ``params.json`` (already written), runs ``TrainerClass.tune``, and
+    leaves ``last_result.json`` behind."""
+    import subprocess
+    import sys
+    cmd = [sys.executable, "-m", "multimodal_dmm_tpu.experiments.tune",
+           "--worker", spec, "--logdir", logdir]
+    proc = subprocess.run(cmd)
+    lr_path = os.path.join(logdir, "last_result.json")
+    last_result = {}
+    if os.path.exists(lr_path):
+        try:
+            with open(lr_path) as f:
+                last_result = json.load(f)
+        except ValueError:
+            pass
+    status = "TERMINATED" if proc.returncode == 0 else "ERROR"
+    if proc.returncode != 0:
+        print("Trial subprocess rc={} ({})".format(proc.returncode,
+                                                   logdir))
+    return status, last_result
+
+
+def _worker_main(spec, logdir):
+    """--worker entry: run one trial in this process."""
+    import importlib
+    mod_name, cls_name = spec.split(":")
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    with open(os.path.join(logdir, "params.json")) as f:
+        config = json.load(f)
+    reporter = Reporter(logdir)
+    status = 0
+    os.chdir(logdir)
+    try:
+        cls.tune(config, reporter)
+    except StopTrial:
+        pass
+    except Exception as e:
+        print("worker trial errored: {!r}".format(e))
+        status = 1
+    with open(os.path.join(logdir, "last_result.json"), "w") as f:
+        json.dump({k: v for k, v in reporter.last_result.items()
+                   if not isinstance(v, (list, dict))}, f, default=str)
+    return status
 
 
 def _write_state(exp_dir, name, checkpoints):
@@ -178,3 +238,14 @@ def _write_state(exp_dir, name, checkpoints):
     path = os.path.join(exp_dir, "experiment_state-{}.json".format(name))
     with open(path, "w") as f:
         json.dump(state, f, default=str)
+
+
+if __name__ == "__main__":
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", required=True,
+                    help="module.path:TrainerClass spec")
+    ap.add_argument("--logdir", required=True)
+    a = ap.parse_args()
+    sys.exit(_worker_main(a.worker, a.logdir))

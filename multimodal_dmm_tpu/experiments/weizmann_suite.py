@@ -28,6 +28,9 @@ parser.add_argument('--max_gpus', type=int, default=None, metavar='N')
 parser.add_argument('--local_dir', type=str, default="./")
 parser.add_argument('--exp_name', type=str, default="weizmann_suite")
 parser.add_argument('--config', type=yaml.safe_load, default={})
+parser.add_argument('--no_isolate', action='store_true', default=False,
+                    help='run trials in-process instead of one fresh '
+                         'subprocess per trial')
 
 TASKS = ['recon', 'half', 'fwd', 'bwd', 'mask', 'action']
 
@@ -68,7 +71,9 @@ def run(args):
     tune.run("weizmann_tune", name=args.exp_name, config=config,
              local_dir=args.local_dir,
              resources_per_trial={"cpu": args.trial_cpus,
-                                  "gpu": args.trial_gpus})
+                                  "gpu": args.trial_gpus},
+             isolate=None if args.no_isolate else
+             "multimodal_dmm_tpu.apps.weizmann:WeizmannTrainer")
 
 
 def analyze(args):
