@@ -37,7 +37,11 @@ def main():
 
     T, B, Z = 25, 25, 256
     log("bench device:", jax.devices()[0])
-    bf16 = "--bf16" in sys.argv
+    # bf16 conv codecs (f32 masters + accumulation) are the production
+    # configuration: measured faster on device time (29.8 vs 31.8
+    # ms/step) and quality-neutral (tests/test_bf16_codecs.py); --f32
+    # opts out.
+    bf16 = "--f32" not in sys.argv
     merge = "--merge" in sys.argv
     bf16_gtf = "--bf16_gtf" in sys.argv
     unroll = 1
@@ -98,23 +102,39 @@ def main():
     log(f"compile+first step: {time.time() - t0:.1f}s "
         f"loss={float(loss):.1f}")
 
-    n_steps = 50
+    # --- synchronous step latency (host-blocking each step) -----------
+    n_sync = 20
     times = []
-    for i in range(n_steps):
+    for i in range(n_sync):
         key, sub = jax.random.split(key)
         t0 = time.time()
         params, state, opt_state, loss = step(
             params, state, opt_state, inputs, jnp.float32(1.0), sub)
         jax.block_until_ready(loss)
         times.append(time.time() - t0)
-        if i < 5 or i % 10 == 0:
-            log(f"step {i}: {times[-1]*1000:.1f}ms")
-
     times.sort()
     med = times[len(times) // 2]
     p90 = times[int(len(times) * 0.9)]
-    log(f"p50 {med*1000:.1f}ms  p90 {p90*1000:.1f}ms over {n_steps} steps")
-    seqs_per_sec = B / med
+    log(f"sync step latency: p50 {med*1000:.1f}ms  p90 {p90*1000:.1f}ms"
+        f" over {n_sync} steps")
+
+    # --- pipelined steady-state throughput (the deployment number) ----
+    # The Trainer's loop drains each step's loss ONE step late
+    # (training/trainer.py), so device execution overlaps host work and
+    # the tunnel round-trip; a remote-dispatch latency of tens of ms
+    # (axon) otherwise doubles the apparent step time. Enqueue the
+    # whole window and block once — JAX dispatch is asynchronous, this
+    # is exactly the steady state the training loop reaches.
+    n_pipe = 50
+    t0 = time.time()
+    for i in range(n_pipe):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, loss = step(
+            params, state, opt_state, inputs, jnp.float32(1.0), sub)
+    jax.block_until_ready(loss)
+    pipe_dt = (time.time() - t0) / n_pipe
+    log(f"pipelined: {pipe_dt*1000:.1f}ms/step over {n_pipe} steps")
+    seqs_per_sec = B / pipe_dt
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
