@@ -53,10 +53,15 @@ class DeviceTrainData:
                 arr[i, :len(it[m])] = it[m]
             self.data[m] = jax.device_put(arr)
         self.lengths_dev = jax.device_put(self.lengths)
+        # The HBM-resident set is passed as an ARGUMENT to the jitted
+        # gather, never closed over: closure arrays become HLO
+        # constants, which bloats the compile payload by the full
+        # dataset size (and trips request limits on remote-compile
+        # backends).
         self._gather = jax.jit(self._gather_and_burst)
 
-    def _gather_and_burst(self, idx, real, key):
-        lengths = self.lengths_dev[idx]                    # (B,)
+    def _gather_and_burst(self, data, lengths_all, idx, real, key):
+        lengths = lengths_all[idx]                         # (B,)
         t_idx = jnp.arange(self.t_max)                     # (T,)
         mask = ((t_idx[:, None] < lengths[None, :])
                 & real[None, :])[..., None]
@@ -73,7 +78,7 @@ class DeviceTrainData:
                  & (t_idx[None, :, None] < stop[:, None, :]))  # (M,T,B)
         targets, inputs = {}, {}
         for mi, m in enumerate(self.modalities):
-            x = jnp.take(self.data[m], idx, axis=0)        # (B, T, ...)
+            x = jnp.take(data[m], idx, axis=0)        # (B, T, ...)
             x = jnp.moveaxis(x, 0, 1)                      # (T, B, ...)
             targets[m] = x
             bm = burst[mi].reshape(
@@ -102,6 +107,7 @@ class DeviceTrainData:
             real = np.arange(self.batch_size) < n_real
             key, sub = jax.random.split(key)
             inputs, targets, mask = self._gather(
+                self.data, self.lengths_dev,
                 jnp.asarray(sel, jnp.int32), jnp.asarray(real), sub)
             lengths = [int(l) for l in self.lengths[sel[:n_real]]]
             yield inputs, targets, mask, lengths
