@@ -421,12 +421,21 @@ class Trainer:
             epoch, loss, kld_mult))
         return loss
 
-    def evaluate(self, loader, args):
+    def evaluate(self, loader, args, collect_results=True):
         """Eval-task engine (trainer.py:264-323): compose rand_delete +
         keep_segment + drop/keep_mods, run the MAP forward, compute
-        metrics, decollate results."""
+        metrics, decollate results.
+
+        ``collect_results=False`` (the training-loop / find-best path)
+        skips pulling the full reconstructions to the host: the metric
+        math runs on device arrays and only the reduced per-sequence
+        metrics cross the wire. On a remote-dispatch backend the full
+        pull is tens of MB per batch and dominated eval wall-clock
+        ~10x.
+        """
         n_timesteps = 0
         metrics = None
+        collect_results = collect_results or args.visualize
         results = {'seq_ids': [], 'targets': [], 'inputs': [], 'recon': []}
         rec_mults = dict(args.rec_mults)
         if args.eval_mods != 'all':
@@ -448,29 +457,32 @@ class Trainer:
             self.rng, sub = jax.random.split(self.rng)
             (infer, prior, recon), _ = fwd(
                 self.params, self.state, self._to_device(inputs), sub)
-            infer = tuple(np.asarray(x) for x in infer)
-            prior = tuple(np.asarray(x) for x in prior)
-            recon = {m: tuple(np.asarray(r) for r in rs)
-                     for m, rs in recon.items()}
+            if collect_results:
+                infer = tuple(np.asarray(x) for x in infer)
+                prior = tuple(np.asarray(x) for x in prior)
+                recon = {m: tuple(np.asarray(r) for r in rs)
+                         for m, rs in recon.items()}
             n_timesteps += sum(lengths)
             b_metrics = self.compute_metrics(
                 self.model, infer, prior, recon, targets, mask, lengths,
                 order, args, rec_mults=rec_mults)
             metrics = (b_metrics if metrics is None else
                        {k: metrics[k] + b_metrics[k] for k in metrics})
-            results['seq_ids'] += [ids[i] for i in order]
-            results['targets'].append(
-                mseq.seq_decoll_dict(targets, lengths, order))
-            results['inputs'].append(
-                mseq.seq_decoll_dict(inputs, lengths, order))
-            results['recon'].append(
-                mseq.seq_decoll_dict(recon, lengths, order))
-        for k in ('targets', 'inputs', 'recon'):
-            modalities = list(results[k][0].keys())
-            results[k] = {m: [seq for batch in results[k]
-                              for seq in batch[m]] for m in modalities}
-        if args.visualize:
-            self.visualize(results, metrics[args.viz_metric], args)
+            if collect_results:
+                results['seq_ids'] += [ids[i] for i in order]
+                results['targets'].append(
+                    mseq.seq_decoll_dict(targets, lengths, order))
+                results['inputs'].append(
+                    mseq.seq_decoll_dict(inputs, lengths, order))
+                results['recon'].append(
+                    mseq.seq_decoll_dict(recon, lengths, order))
+        if collect_results:
+            for k in ('targets', 'inputs', 'recon'):
+                modalities = list(results[k][0].keys())
+                results[k] = {m: [seq for batch in results[k]
+                                  for seq in batch[m]] for m in modalities}
+            if args.visualize:
+                self.visualize(results, metrics[args.viz_metric], args)
         metrics = self.summarize_metrics(metrics, n_timesteps)
         return results, metrics
 
@@ -604,7 +616,8 @@ class Trainer:
             checkpoint = load_checkpoint(path)
             self._restore(checkpoint)
             print('--- Epoch {} ---'.format(epoch))
-            _, metrics = self.evaluate(test_loader, args)
+            _, metrics = self.evaluate(test_loader, args,
+                                       collect_results=False)
             loss = metrics[args.eval_metric]
             if loss < best_loss:
                 best_loss, best_epoch = loss, epoch
@@ -668,7 +681,8 @@ class Trainer:
             else:
                 self.train(train_loader, epoch, args)
             if epoch % args.eval_freq == 0:
-                _, metrics = self.evaluate(test_loader, args)
+                _, metrics = self.evaluate(test_loader, args,
+                                           collect_results=False)
                 loss = metrics[args.eval_metric]
                 if loss < best_loss:
                     best_loss = loss
