@@ -133,6 +133,9 @@ def evaluate(trial_config, trial_dir):
     vars(base_args).update(trial_config)
     base_args.load = os.path.join(trial_dir, base_args.save_dir,
                                   'best.pth')
+    # Metrics-only evaluation: no AVI artifacts, no host pull of full
+    # reconstructions (trainer.run_eval's skip path).
+    base_args.save_args = {'skip': True}
     task_train_metrics, task_train_std = {}, {}
     task_test_metrics, task_test_std = {}, {}
     for task in TASKS:

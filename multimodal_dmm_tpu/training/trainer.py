@@ -578,7 +578,15 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def run_eval(self, args):
-        """Evaluate on train and/or test sets (trainer.py:405-435)."""
+        """Evaluate on train and/or test sets (trainer.py:405-435).
+
+        ``--save_args "{skip: true}"`` computes metrics only: forward
+        outputs stay on device and no artifacts (AVI/WAV/PDF) are
+        written — the experiment suites use this for their 75+ task
+        re-evaluations, where only the metric numbers feed the CSVs.
+        """
+        skip_save = (isinstance(args.save_args, dict)
+                     and bool(args.save_args.get('skip')))
         train_metrics, test_metrics = None, None
         if 'train' in args.eval_sets:
             print("--Training--")
@@ -586,16 +594,20 @@ class Trainer:
                                  batch_size=args.batch_sz_eval,
                                  len_bucket=args.len_bucket)
             args.eval_set = 'train'
-            results, train_metrics = self.evaluate(loader, args)
-            self.save_results(results, args)
+            results, train_metrics = self.evaluate(
+                loader, args, collect_results=not skip_save)
+            if not skip_save:
+                self.save_results(results, args)
         if 'test' in args.eval_sets:
             print("--Testing--")
             loader = BatchLoader(self.test_data,
                                  batch_size=args.batch_sz_eval,
                                  len_bucket=args.len_bucket)
             args.eval_set = 'test'
-            results, test_metrics = self.evaluate(loader, args)
-            self.save_results(results, args)
+            results, test_metrics = self.evaluate(
+                loader, args, collect_results=not skip_save)
+            if not skip_save:
+                self.save_results(results, args)
         self.save_params(args)
         return train_metrics, test_metrics
 
