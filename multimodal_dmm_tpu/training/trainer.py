@@ -570,6 +570,13 @@ class Trainer:
         save_checkpoint(path, modalities, self.params, self.state,
                         self.opt_state)
 
+    def _write_snapshot(self, snapshot, args, name):
+        """Serialize a deferred (params, state, opt_state) device
+        snapshot (see run_train's best-checkpoint handling)."""
+        params, state, opt_state = snapshot
+        save_checkpoint(os.path.join(args.save_dir, name),
+                        args.modalities, params, state, opt_state)
+
     def load_checkpoint(self, path, device=None):
         return load_checkpoint(path)
 
@@ -679,13 +686,15 @@ class Trainer:
                                   len_bucket=args.len_bucket)
 
         best_loss = float('inf')
+        best_snapshot = None
         loss = float('nan')
         metrics = {}
         args.eval_set = None
         from .diagnostics import profile_ctx
         profile_epochs = {2} if getattr(args, 'profile_dir', None) \
             else set()
-        for epoch in range(1, args.epochs + 1):
+        try:
+          for epoch in range(1, args.epochs + 1):
             print('---')
             if epoch in profile_epochs:
                 with profile_ctx(args.profile_dir):
@@ -698,18 +707,36 @@ class Trainer:
                 loss = metrics[args.eval_metric]
                 if loss < best_loss:
                     best_loss = loss
-                    self.save_checkpoint(
-                        args.modalities,
-                        os.path.join(args.save_dir, "best.pth"))
+                    # Snapshot the best params/state on DEVICE (cheap
+                    # HBM copy; the train step donates the old buffers
+                    # so references alone would die) and defer the disk
+                    # write: serializing a checkpoint pulls the full
+                    # params+optimizer state to the host (~10 s on a
+                    # remote-dispatch tunnel), which at every-eval
+                    # cadence dominated training wall-clock.
+                    best_snapshot = jax.tree_util.tree_map(
+                        jnp.copy,
+                        (self.params, self.state, self.opt_state))
                 if reporter is not None:
                     reporter(mean_loss=loss, best_loss=best_loss,
                              training_iteration=epoch,
                              done=bool(np.isnan(loss)), **metrics)
             if epoch % args.save_freq == 0:
+                if best_snapshot is not None:
+                    self._write_snapshot(best_snapshot, args,
+                                         "best.pth")
+                    best_snapshot = None
                 self.save_checkpoint(
                     args.modalities,
                     os.path.join(args.save_dir,
                                  "epoch_{}.pth".format(epoch)))
+        finally:
+            # StopTrial (reporter done=True, e.g. NaN loss) must still
+            # leave the best pre-termination checkpoint on disk - the
+            # suites' analysis depends on it (reference trial
+            # semantics).
+            if best_snapshot is not None:
+                self._write_snapshot(best_snapshot, args, "best.pth")
         self.save_checkpoint(args.modalities,
                              os.path.join(args.save_dir, "last.pth"))
         self.save_params(args)
