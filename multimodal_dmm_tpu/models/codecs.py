@@ -98,7 +98,13 @@ def image_decoder_init(key, z_dim, img_size=64, n_channels=3,
 
 
 def image_decoder_apply(params, state, meta, z, train):
-    """z: (N, z_dim) → sigmoid probs (N, C, H, W) as a 1-tuple."""
+    """z: (N, z_dim) → sigmoid probs (N, C, H, W) as a 1-tuple.
+
+    ``meta["logits"]`` skips the final sigmoid and returns the
+    pre-sigmoid activations instead — the training objective consumes
+    these via the fused log-sigmoid BCE (ops/losses.py
+    nll_bernoulli_logits), avoiding a materialized probability tensor.
+    """
     n_k, fs, _ = meta["feat_shape"]
     feats = jax.nn.relu(tnn.linear_apply(params["z_to_feat"], z))
     h = feats.reshape(-1, n_k, fs, fs)          # torch NCHW layout
@@ -114,9 +120,10 @@ def image_decoder_apply(params, state, meta, z, train):
                                           state["bns"][l], h, train)
             new_bns.append(bn_s)
             h = jax.nn.relu(h)
-    probs = jax.nn.sigmoid(h)
-    probs = jnp.transpose(probs, (0, 3, 1, 2))  # → NCHW
-    return (probs,), {"bns": new_bns}
+    if not meta.get("logits"):
+        h = jax.nn.sigmoid(h)
+    h = jnp.transpose(h, (0, 3, 1, 2))  # → NCHW
+    return (h,), {"bns": new_bns}
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +221,10 @@ def audio_decoder_apply(params, state, meta, z, train):
                                           state["bns"][l], h, train)
             new_bns.append(bn_s)
             h = jax.nn.relu(h)
-    probs = jax.nn.sigmoid(h)
-    probs = jnp.transpose(probs, (0, 2, 1))  # → NCW
-    return (probs,), {"bns": new_bns}
+    if not meta.get("logits"):
+        h = jax.nn.sigmoid(h)
+    h = jnp.transpose(h, (0, 2, 1))  # → NCW
+    return (h,), {"bns": new_bns}
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +271,15 @@ def image_decoder_codec(z_dim, img_size=64, n_channels=3, n_kernels=64,
                 "n_layers": n_layers, "dt": compute_dtype}
         return image_decoder_apply(params, state, meta, z, train)
 
-    return Codec(init, apply)
+    def apply_logits(params, state, z, train):
+        meta = {"feat_shape": (n_kernels, feat_size, feat_size),
+                "n_layers": n_layers, "dt": compute_dtype,
+                "logits": True}
+        return image_decoder_apply(params, state, meta, z, train)
+
+    codec = Codec(init, apply)
+    codec.apply_logits = apply_logits
+    return codec
 
 
 def audio_encoder_codec(z_dim, gauss_out=True, n_freqs=1281, n_frames=5,
@@ -300,4 +316,12 @@ def audio_decoder_codec(z_dim, n_freqs=1281, n_frames=5, n_kernels=16,
                 "n_layers": n_layers, "dt": compute_dtype}
         return audio_decoder_apply(params, state, meta, z, train)
 
-    return Codec(init, apply)
+    def apply_logits(params, state, z, train):
+        meta = {"feat_shape": (n_kernels, feat_size),
+                "n_layers": n_layers, "dt": compute_dtype,
+                "logits": True}
+        return audio_decoder_apply(params, state, meta, z, train)
+
+    codec = Codec(init, apply)
+    codec.apply_logits = apply_logits
+    return codec

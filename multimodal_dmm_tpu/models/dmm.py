@@ -153,18 +153,37 @@ class MultiDMM(MultiDGTS):
             masks = masks.any(axis=0)
         return (z_mean, z_std, masks), new_state
 
-    def decode(self, params, state, z, train=False):
+    def decode(self, params, state, z, train=False, want_logits=False):
         """z: (T, B, z_dim) → recon dict of (T, B, ...) param tuples
-        (dmm.py:192-212)."""
+        (dmm.py:192-212).
+
+        ``want_logits=True`` additionally returns the pre-sigmoid
+        activations for Bernoulli modalities whose codec supports a
+        logits channel ("{m: logits}"); the recon probs are derived by
+        one sigmoid, so when the caller's loss consumes only the
+        logits (fused logit-space BCE) XLA dead-code-eliminates the
+        probability tensor entirely."""
         t_max, b_dim = z.shape[:2]
         flat = z.reshape(t_max * b_dim, self.z_dim)
         recon = {}
+        logits = {}
         new_state = dict(state)
         for m in self.modalities:
-            out, new_state[m] = self.dec[m].apply(
+            dec = self.dec[m]
+            if (want_logits and self.dists[m] == "Bernoulli"
+                    and hasattr(dec, "apply_logits")):
+                out, new_state[m] = dec.apply_logits(
+                    params["dec"][m], state[m], flat, train)
+                lg = out[0].reshape((t_max, b_dim) + out[0].shape[1:])
+                logits[m] = lg
+                recon[m] = (jax.nn.sigmoid(lg),)
+                continue
+            out, new_state[m] = dec.apply(
                 params["dec"][m], state[m], flat, train)
             recon[m] = tuple(
                 r.reshape((t_max, b_dim) + r.shape[1:]) for r in out)
+        if want_logits:
+            return recon, logits, new_state
         return recon, new_state
 
     # -- latent dynamics ------------------------------------------------------
@@ -459,9 +478,10 @@ class MultiDMM(MultiDGTS):
         sample = kwargs.pop("sample", True)
         # Merge the two modes' filtering scans into one (see
         # _fused_two_mode_losses). Off by default: the K=1 group's
-        # particle-mean reduction reintroduces ≤ulp f32 noise, so the
-        # exactness-tested default composition stays untouched; the
-        # Trainer turns it on for throughput.
+        # particle-mean reduction reintroduces ≤ulp f32 noise, and at
+        # suite shapes the merged scan measured slower (RESULTS §8:
+        # 51 vs 31 ms device time), so it stays opt-in via
+        # --train_args '{merge_mode_scans: true}' / bench --merge.
         merge_mode_scans = kwargs.pop("merge_mode_scans", False)
 
         k1, k2, k3, k4 = jax.random.split(rng, 4)
@@ -503,12 +523,14 @@ class MultiDMM(MultiDGTS):
         # modalities actually present in the inputs (dgts.py:126).
         rows = []
         if len(self.modalities) > 1:
-            rows.append(jnp.ones((self.n_mods,)))
+            rows.append(np.ones((self.n_mods,), np.float32))
         if uni_loss:
-            rows += [jnp.eye(self.n_mods)[i]
+            rows += [np.eye(self.n_mods, dtype=np.float32)[i]
                      for i, m in enumerate(self.modalities)
                      if m in inputs]
-        vmat = jnp.stack(rows)  # (V, M)
+        # Static numpy (V, M): the objective slices each modality's
+        # loss to its active variants at trace time.
+        vmat = np.stack(rows)
 
         dec_state = state["dec"]
         fdir = "fwd" if f_mode in ("ffilter", "bsmooth") else "bwd"
@@ -599,16 +621,16 @@ class MultiDMM(MultiDGTS):
 
         # Per-mode decodes (BatchNorm batch statistics unchanged vs the
         # unmerged path), then the shared variant objective.
-        f_recon, dec_state = self.decode(params, dec_state, f_samples,
-                                         train)
-        s_recon, dec_state = self.decode(params, dec_state, s_samples,
-                                         train)
+        f_recon, f_logits, dec_state = self.decode(
+            params, dec_state, f_samples, train, want_logits=True)
+        s_recon, s_logits, dec_state = self.decode(
+            params, dec_state, s_samples, train, want_logits=True)
         f_loss = self._variant_objective(f_infer, f_prior, f_recon,
                                          vmat, targets, mask, kld_mult,
-                                         rec_mults)
+                                         rec_mults, logits=f_logits)
         s_loss = self._variant_objective(s_infer, s_prior, s_recon,
                                          vmat, targets, mask, kld_mult,
-                                         rec_mults)
+                                         rec_mults, logits=s_logits)
         return f_loss, s_loss, dec_state
 
     def _variant_experts(self, obs_mean, obs_std, obs_mask, vmat):
@@ -671,54 +693,85 @@ class MultiDMM(MultiDGTS):
                 k_smt, direction=direction, sample=sample,
                 n_particles=smt_particles, sample_init=sample_init)
 
-        recon, dec_state = self.decode(params, dec_state, z_samples,
-                                       train)
+        recon, logits, dec_state = self.decode(
+            params, dec_state, z_samples, train, want_logits=True)
         loss = self._variant_objective(infer, prior, recon, vmat,
                                        targets, mask, kld_mult,
-                                       rec_mults)
+                                       rec_mults, logits=logits)
         return loss, dec_state
 
     def _variant_objective(self, infer, prior, recon, vmat, targets,
-                           mask, kld_mult, rec_mults):
+                           mask, kld_mult, rec_mults, logits=None):
         """KLD + weighted reconstruction over the stacked variant batch
-        — equals the sum of the reference's per-forward losses."""
+        — equals the sum of the reference's per-forward losses.
+
+        ``vmat`` is a STATIC numpy (V, M) presence matrix, which lets
+        each modality's reconstruction term slice down to its active
+        variants at trace time (the joint row plus its own unimodal
+        row) instead of computing a full-variant NLL and zeroing the
+        inactive rows with a tiled mask — on Weizmann-sized video that
+        halves the dominant (T, V, B, 3·64·64) elementwise pass.
+        Bernoulli modalities with ``logits`` use the fused logit-space
+        BCE (no materialized probability tensor; see
+        ops/losses.nll_bernoulli_logits)."""
+        vmat = np.asarray(vmat)
         v_dim = vmat.shape[0]
         t_max = mask.shape[0]
         b_dim = mask.shape[1]
+        logits = logits or {}
 
-        # KLD over every variant, masked by the (tiled) length mask.
+        # KLD over every variant, masked by the (tiled) length mask
+        # (z-dim-sized tensors; tiling is cheap here).
         mask_v = jnp.broadcast_to(mask.astype(jnp.float32)[:, None],
                                   (t_max, v_dim) + mask.shape[1:])
         mask_v = mask_v.reshape((t_max, v_dim * b_dim) + mask.shape[2:])
         loss = kld_mult * losses.kld_gauss(
             infer[0], infer[1], prior[0], prior[1], mask_v)
 
-        # Reconstruction: recon (T, V, B, ...) vs targets (T, 1, B, ...),
-        # each modality weighted per variant by its presence row —
-        # the joint variant scores every modality, uni_i scores only i.
+        # Reconstruction: recon (T, V, B, ...) vs targets (T, B, ...);
+        # the joint variant scores every modality, uni_i scores only i,
+        # so modality i's NLL runs over its active variant rows only.
+        lmask = mask.astype(jnp.float32)  # (T, B, 1)
         for i, m in enumerate(self.modalities):
             if m not in targets:
                 continue
             mult = rec_mults.get(m, 1.0) if rec_mults else 1.0
             if mult == 0:
                 continue
-            w = vmat[:, i]  # (V,)
-            x = targets[m][:, None]  # (T, 1, B, ...)
-            wmask = (mask.astype(jnp.float32)[:, None]
-                     * w[None, :, None, None])  # (T, V, B, 1)
+            active = np.nonzero(vmat[:, i])[0]
+            if len(active) == 0:
+                continue
+            x = targets[m]  # (T, B, ...)
+            # Length mask broadcastable over (T, A, B, ...): (T,1,B,1..)
+            lm_a = lmask.reshape(
+                (t_max, 1, b_dim) + (1,) * (x.ndim - 3) + (1,))
+            if self.dists[m] == "Bernoulli" and m in logits:
+                lg = logits[m].reshape(
+                    (t_max, v_dim, b_dim) + logits[m].shape[2:])
+                lg = lg[:, active]  # (T, A, B, ...)
+                obs = ~jnp.isnan(x)
+                xs = jnp.where(obs, x, 0.0)[:, None]
+                cm = obs.astype(jnp.float32)[:, None] * lm_a
+                log_t = jnp.maximum(-jax.nn.softplus(-lg), -100.0)
+                log_1mt = jnp.maximum(-jax.nn.softplus(lg), -100.0)
+                nll = -(xs * log_t + (1.0 - xs) * log_1mt)
+                nll = jnp.where(cm > 0, nll, 0.0)
+                loss += mult * jnp.sum(nll * cm)
+                continue
             rec = tuple(
-                r.reshape((t_max, v_dim, b_dim) + r.shape[2:])
+                r.reshape((t_max, v_dim, b_dim) + r.shape[2:])[:, active]
                 for r in recon[m])
+            xa = x[:, None]  # (T, 1, B, ...) broadcasts over A
             if self.dists[m] == "Bernoulli":
-                loss += mult * losses.nll_bernoulli(rec[0], x, wmask)
+                loss += mult * losses.nll_bernoulli(rec[0], xa, lm_a)
             elif self.dists[m] == "Categorical":
                 labels = jnp.broadcast_to(
-                    x, (t_max, v_dim) + targets[m].shape[1:])
+                    xa, (t_max, len(active)) + x.shape[1:])
                 loss += mult * losses.nll_categorical(
-                    rec[0], labels, wmask)
+                    rec[0], labels, lm_a)
             else:
-                loss += mult * losses.nll_gauss(rec[0], rec[1], x,
-                                                wmask)
+                loss += mult * losses.nll_gauss(rec[0], rec[1], xa,
+                                                lm_a)
         return loss
 
 

@@ -1,5 +1,6 @@
 """Pure-math core ops: Gaussian expert fusion, masked losses, schedules."""
 
 from .poe import product_of_experts, mean_of_experts
-from .losses import kld_gauss, nll_bernoulli, nll_categorical, nll_gauss
+from .losses import (kld_gauss, nll_bernoulli, nll_bernoulli_logits,
+                     nll_categorical, nll_gauss)
 from .schedules import anneal

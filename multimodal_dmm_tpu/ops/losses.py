@@ -21,6 +21,7 @@ the element shape (T, B, D, ...).
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -80,6 +81,32 @@ def nll_bernoulli(theta, x, mask=None):
     log_t = jnp.maximum(jnp.log(theta), -100.0)
     log_1mt = jnp.maximum(jnp.log1p(-theta), -100.0)
     nll = -(xs * log_t + (1.0 - xs) * log_1mt)
+    return jnp.sum(nll * m)
+
+
+def nll_bernoulli_logits(logits, x, mask=None):
+    """Bernoulli NLL from pre-sigmoid logits (fused log-sigmoid form).
+
+    Same masked-sum semantics as ``nll_bernoulli`` with the reference's
+    −100 log clamps (losses.py:23-42), but computed straight from logits:
+    log σ(l) = −softplus(−l), log(1−σ(l)) = −softplus(l). No probability
+    tensor is ever materialized, which removes an HBM round-trip on
+    image-sized reconstructions, and the backward is the closed-form
+    σ(l)−x instead of a chain through log(sigmoid(·)).
+
+    Deviation from ``nll_bernoulli(sigmoid(l), x)``: in the saturation
+    band where f32 probs round to exactly 0/1 (|l| ≳ 17) the probs-space
+    path degrades to the clamp constant −100 with zero gradient; this
+    form returns the true NLL (and a live gradient) until the clamp
+    genuinely binds at |l| ≥ 100. Strictly more accurate; parity
+    elsewhere is exact to f32 rounding (tests/test_losses.py).
+    """
+    m = _combined_mask(x, mask)
+    xs = jnp.where(jnp.isnan(x), 0.0, x)
+    log_t = jnp.maximum(-jax.nn.softplus(-logits), -100.0)
+    log_1mt = jnp.maximum(-jax.nn.softplus(logits), -100.0)
+    nll = -(xs * log_t + (1.0 - xs) * log_1mt)
+    nll = jnp.where(m > 0, nll, 0.0)  # NaN/inf-proof exclusion
     return jnp.sum(nll * m)
 
 

@@ -92,6 +92,46 @@ def test_fused_sampling_runs_and_is_finite(setup):
     assert np.isfinite(float(loss))
 
 
+def test_fused_bernoulli_logit_path_matches_unfused():
+    """The fused objective's logit-space BCE (variant-sliced, no
+    materialized probs) must match the unfused probs-space composition
+    on a Bernoulli image modality."""
+    from multimodal_dmm_tpu.models import codecs
+    mods = ["video", "label"]
+    model = MultiDMM(
+        mods, [(3, 8, 8), 4], dists=["Bernoulli", "Categorical"],
+        encoders={"video": codecs.image_encoder_codec(6, img_size=8)},
+        decoders={"video": codecs.image_decoder_codec(6, img_size=8)},
+        z_dim=6, h_dim=8)
+    params, state = model.init(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(7)
+    x_vid = (rng.rand(T, B, 3, 8, 8) > 0.5).astype(np.float32)
+    x_vid[rng.rand(T, B) < 0.3] = np.nan
+    x_lab = rng.randint(0, 4, (T, B, 1)).astype(np.float32)
+    x_lab[rng.rand(T, B, 1) < 0.3] = np.nan
+    inputs = {"video": jnp.array(x_vid), "label": jnp.array(x_lab)}
+    mask = jnp.ones((T, B, 1))
+    common = dict(kld_mult=0.5, rec_mults={"video": 1.0, "label": 2.0},
+                  rng=jax.random.PRNGKey(2), targets=inputs,
+                  uni_loss=True, sample=False, match_mult=0.0,
+                  train_particles=1, flt_particles=1, train=False)
+
+    def loss_of(p, fused):
+        loss, _ = model.step(p, state, inputs, mask, fused=fused,
+                             **common)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda p: loss_of(p, False))(params)
+    l_fused, g_fused = jax.value_and_grad(
+        lambda p: loss_of(p, True))(params)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-4)
+
+
 @pytest.mark.parametrize("sample", [True, False])
 def test_merged_two_mode_scan_matches_unmerged(setup, sample):
     """merge_mode_scans=True (both modes' filtering passes in one scan)

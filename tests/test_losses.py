@@ -13,6 +13,7 @@ import torch
 import torch.nn.functional as F
 
 from multimodal_dmm_tpu.ops import (kld_gauss, nll_bernoulli,
+                                    nll_bernoulli_logits,
                                     nll_categorical, nll_gauss)
 
 
@@ -78,6 +79,54 @@ def test_nll_bernoulli_matches_torch_with_nans():
 
     got = nll_bernoulli(jnp.array(theta), jnp.array(x), jnp.array(mask))
     assert np.allclose(float(got), golden, rtol=1e-4)
+
+
+def test_nll_bernoulli_logits_matches_torch_with_logits():
+    """Fused logit-space BCE vs torch binary_cross_entropy_with_logits
+    (the numerically-true value, which the fused form reproduces in the
+    non-clamped range)."""
+    rng = np.random.RandomState(4)
+    T, B, D = 5, 4, 6
+    logits = (rng.randn(T, B, D) * 4).astype(np.float32)
+    x = (rng.rand(T, B, D) > 0.5).astype(np.float32)
+    x[rng.rand(T, B, D) > 0.8] = np.nan
+    mask = rng.rand(T, B, 1) > 0.2
+
+    x_t = torch.tensor(x)
+    m_t = _torch_mask(x_t, torch.tensor(mask))
+    golden = F.binary_cross_entropy_with_logits(
+        torch.tensor(logits).masked_select(m_t),
+        x_t.masked_select(m_t), reduction="sum").item()
+
+    got = nll_bernoulli_logits(jnp.array(logits), jnp.array(x),
+                               jnp.array(mask))
+    assert np.allclose(float(got), golden, rtol=1e-5)
+
+
+def test_nll_bernoulli_logits_agrees_with_probs_path():
+    """nll_bernoulli_logits(l) == nll_bernoulli(sigmoid(l)) away from
+    the f32 prob-saturation band."""
+    rng = np.random.RandomState(5)
+    logits = (rng.randn(8, 3, 7) * 3).astype(np.float32)
+    x = (rng.rand(8, 3, 7) > 0.5).astype(np.float32)
+    mask = rng.rand(8, 3, 1) > 0.3
+    via_probs = nll_bernoulli(jnp.asarray(1 / (1 + np.exp(-logits))),
+                              jnp.array(x), jnp.array(mask))
+    via_logits = nll_bernoulli_logits(jnp.array(logits), jnp.array(x),
+                                      jnp.array(mask))
+    assert np.allclose(float(via_logits), float(via_probs), rtol=1e-5)
+
+
+def test_nll_bernoulli_logits_clamps_at_100():
+    """The reference's −100 log clamp binds at |l| ≥ 100: a maximally
+    wrong saturated logit contributes exactly 100 per element."""
+    logits = jnp.full((1, 1, 1), -250.0)
+    x = jnp.ones((1, 1, 1))
+    got = float(nll_bernoulli_logits(logits, x))
+    assert np.allclose(got, 100.0)
+    # Moderately saturated logits keep their true NLL (no early clamp).
+    got2 = float(nll_bernoulli_logits(jnp.full((1, 1, 1), -50.0), x))
+    assert np.allclose(got2, 50.0, rtol=1e-5)
 
 
 def test_nll_categorical_matches_torch_quirk():
