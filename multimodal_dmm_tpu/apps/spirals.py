@@ -19,7 +19,10 @@ from ..training import trainer
 class SpiralsTrainer(trainer.Trainer):
     """Class for training on noisy 2D spirals."""
 
-    parser = copy.copy(trainer.Trainer.parser)
+    # deepcopy: argparse copy.copy shares _defaults/actions, so one
+    # app's set_defaults would contaminate the others' parsers
+    # when several apps are imported in-process (suites, tests).
+    parser = copy.deepcopy(trainer.Trainer.parser)
     parser.add_argument('--train_subdir', type=str, default='train',
                         metavar='DIR', help='training data subdirectory')
     parser.add_argument('--test_subdir', type=str, default='test',
@@ -101,6 +104,30 @@ class SpiralsTrainer(trainer.Trainer):
         mse = mse.sum(axis=0)[:n_real] / lengths_f
         metrics['mse'] = [mse[i] for i in order]
         return metrics
+
+    def compute_metrics_device(self, model, infer, prior, recon,
+                               targets, mask, lengths, rec_mults):
+        """Traced per-batch metric kernel (device eval engine).
+
+        Same math as ``compute_metrics`` (spirals.py:93-111) but fully
+        jnp: returns summed scalars + a (B,) per-sequence MSE array.
+        """
+        import jax.numpy as jnp
+        from ..training.eval_engine import time_avg_dev
+        m_b = mask.astype(bool)
+        mets = {
+            'kld_loss': losses.kld_gauss(infer[0], infer[1], prior[0],
+                                         prior[1], m_b),
+            'rec_loss': model.rec_loss(
+                {m: targets[m] for m in recon}, recon, m_b, rec_mults),
+        }
+        mse = 0.0
+        for m in recon:
+            d = ((recon[m][0] - jnp.nan_to_num(targets[m])) ** 2
+                 * ~jnp.isnan(targets[m]))
+            mse = mse + d.sum(axis=tuple(range(2, d.ndim)))
+        mets['mse'] = time_avg_dev(mse, mask, lengths)
+        return mets
 
     def summarize_metrics(self, metrics, n_timesteps):
         """Mean±std over sequences / per-timestep averages

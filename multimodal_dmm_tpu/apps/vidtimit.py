@@ -24,7 +24,10 @@ from ..training import trainer
 class VidTIMITTrainer(trainer.Trainer):
     """Class for training on the VidTIMIT audio-visual dataset."""
 
-    parser = copy.copy(trainer.Trainer.parser)
+    # deepcopy: argparse copy.copy shares _defaults/actions, so one
+    # app's set_defaults would contaminate the others' parsers
+    # when several apps are imported in-process (suites, tests).
+    parser = copy.deepcopy(trainer.Trainer.parser)
 
     defaults = {
         'modalities': ['video', 'audio'],
@@ -138,6 +141,42 @@ class VidTIMITTrainer(trainer.Trainer):
         metrics['ssim'] = [time_avg(ssim)[i] for i in order]
         metrics['a_mse'] = [time_avg(a_mse)[i] for i in order]
         return metrics
+
+    def compute_metrics_device(self, model, infer, prior, recon,
+                               targets, mask, lengths, rec_mults):
+        """Traced per-batch metric kernel (device eval engine): same
+        math as ``compute_metrics`` (vidTIMIT.py:105-138) in jnp."""
+        import jax.numpy as jnp
+        from ..training.eval_engine import time_avg_dev
+        t_max, b_dim = mask.shape[:2]
+        m_b = mask.astype(bool)
+        mets = {
+            'kld_loss': losses.kld_gauss(infer[0], infer[1], prior[0],
+                                         prior[1], m_b),
+            'rec_loss': model.rec_loss(
+                {m: targets[m] for m in recon}, recon, m_b, rec_mults),
+        }
+
+        rec_vid = recon['video'][0]
+        tgt_vid = jnp.nan_to_num(targets['video'])
+        v_mse = ((rec_vid - tgt_vid) ** 2
+                 / np.prod(rec_vid.shape[2:])).sum(
+            axis=tuple(range(2, rec_vid.ndim)))
+        ssim = eval_ssim(
+            rec_vid.reshape((-1,) + rec_vid.shape[2:]),
+            tgt_vid.reshape((-1,) + tgt_vid.shape[2:]))
+        ssim = ssim.reshape(t_max, b_dim)
+
+        rec_aud = recon['audio'][0]
+        tgt_aud = jnp.nan_to_num(targets['audio'])
+        a_mse = ((rec_aud - tgt_aud) ** 2
+                 / np.prod(rec_aud.shape[2:])).sum(
+            axis=tuple(range(2, rec_aud.ndim)))
+
+        mets['v_mse'] = time_avg_dev(v_mse, mask, lengths)
+        mets['ssim'] = time_avg_dev(ssim, mask, lengths)
+        mets['a_mse'] = time_avg_dev(a_mse, mask, lengths)
+        return mets
 
     def summarize_metrics(self, metrics, n_timesteps):
         summary = defaultdict(lambda: float('nan'))

@@ -23,7 +23,10 @@ from ..training import trainer
 class WeizmannTrainer(trainer.Trainer):
     """Class for training on the Weizmann human action dataset."""
 
-    parser = copy.copy(trainer.Trainer.parser)
+    # deepcopy: argparse copy.copy shares _defaults/actions, so one
+    # app's set_defaults would contaminate the others' parsers
+    # when several apps are imported in-process (suites, tests).
+    parser = copy.deepcopy(trainer.Trainer.parser)
     parser.add_argument('--viz_mod', type=str, default='video',
                         metavar='M', help='image modality to visualize')
 
@@ -162,6 +165,51 @@ class WeizmannTrainer(trainer.Trainer):
             acc = time_acc(recon[m][0], np.asarray(targets[m]))
             metrics[m] = [acc[i] for i in order]
         return metrics
+
+    def compute_metrics_device(self, model, infer, prior, recon,
+                               targets, mask, lengths, rec_mults):
+        """Traced per-batch metric kernel (device eval engine): same
+        math as ``compute_metrics`` (weizmann.py:116-166) in jnp —
+        incl. on-device SSIM (ops/ssim.py is pure jnp)."""
+        import jax.numpy as jnp
+        from ..training.eval_engine import time_avg_dev
+        t_max, b_dim = mask.shape[:2]
+        m_b = mask.astype(bool)
+        mets = {
+            'kld_loss': losses.kld_gauss(infer[0], infer[1], prior[0],
+                                         prior[1], m_b),
+            'rec_loss': model.rec_loss(
+                {m: targets[m] for m in recon}, recon, m_b, rec_mults),
+        }
+
+        def img_metrics(rec, tgt):
+            tgt_f = jnp.nan_to_num(tgt)
+            per_px = (rec - tgt_f) ** 2 / np.prod(rec.shape[2:])
+            mse = per_px.sum(axis=tuple(range(2, per_px.ndim)))
+            ssim = eval_ssim(
+                rec.reshape((-1,) + rec.shape[2:]),
+                tgt_f.reshape((-1,) + tgt_f.shape[2:]))
+            return mse, ssim.reshape(t_max, b_dim)
+
+        mse, ssim = img_metrics(recon['video'][0], targets['video'])
+        mets['mse'] = time_avg_dev(mse, mask, lengths)
+        mets['ssim'] = time_avg_dev(ssim, mask, lengths)
+        if 'mask' in recon:
+            m_mse, m_ssim = img_metrics(recon['mask'][0],
+                                        targets['mask'])
+            mets['m_mse'] = time_avg_dev(m_mse, mask, lengths)
+            mets['m_ssim'] = time_avg_dev(m_ssim, mask, lengths)
+
+        for m in ('action', 'person'):
+            if m not in recon or m not in targets:
+                mets[m] = jnp.zeros((b_dim,))
+                continue
+            correct = (recon[m][0].argmax(axis=-1)
+                       == jnp.nan_to_num(targets[m])[..., 0]
+                       .astype(jnp.int32))
+            mets[m] = time_avg_dev(correct.astype(jnp.float32),
+                                   mask, lengths)
+        return mets
 
     def summarize_metrics(self, metrics, n_timesteps):
         summary = defaultdict(lambda: float('nan'))

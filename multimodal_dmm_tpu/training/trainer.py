@@ -263,6 +263,8 @@ class Trainer:
         self._train_step = None
         self._train_step_key = None
         self._fwd_cache = {}
+        self._task_eval_cache = {}
+        self._eval_dev_cache = {}  # key -> (dataset ref, DeviceEvalData)
 
     # ------------------------------------------------------------------
     # jitted step builders
@@ -426,16 +428,23 @@ class Trainer:
         keep_segment + drop/keep_mods, run the MAP forward, compute
         metrics, decollate results.
 
-        ``collect_results=False`` (the training-loop / find-best path)
-        skips pulling the full reconstructions to the host: the metric
-        math runs on device arrays and only the reduced per-sequence
-        metrics cross the wire. On a remote-dispatch backend the full
-        pull is tens of MB per batch and dominated eval wall-clock
-        ~10x.
+        ``collect_results=False`` (the training-loop / find-best /
+        metrics-only suite path) runs the fully device-resident engine
+        when the app provides ``compute_metrics_device``: the eval set
+        is pre-uploaded once, task composition + forward + per-sequence
+        metric reduction are one jitted call per batch, and a single
+        small ``device_get`` per eval crosses the wire (~17 s → ~1-2 s
+        per periodic eval on the remote tunnel). Otherwise falls back
+        to the host path below (collect path: visualization/artifact
+        export needs the full reconstructions anyway).
         """
+        collect_results = collect_results or args.visualize
+        if (not collect_results and self.mesh is None
+                and getattr(self, "compute_metrics_device", None)
+                is not None):
+            return self._evaluate_device(loader, args)
         n_timesteps = 0
         metrics = None
-        collect_results = collect_results or args.visualize
         results = {'seq_ids': [], 'targets': [], 'inputs': [], 'recon': []}
         rec_mults = dict(args.rec_mults)
         if args.eval_mods != 'all':
@@ -485,6 +494,104 @@ class Trainer:
                 self.visualize(results, metrics[args.viz_metric], args)
         metrics = self.summarize_metrics(metrics, n_timesteps)
         return results, metrics
+
+    def _get_task_eval(self, rec_mults, eval_args, drop_mods, keep_mods):
+        """Cache one jitted task-eval kernel per static config.
+
+        drop/start/stop fracs are TRACED scalars, so a single compile
+        serves every task of an experiment suite (recon/half/fwd/bwd/
+        condgen differ only in those fracs and the static mod tuples).
+        """
+        key = (tuple(sorted(rec_mults.items())),
+               tuple(sorted(eval_args.items())),
+               tuple(drop_mods), tuple(keep_mods))
+        fn = self._task_eval_cache.get(key)
+        if fn is not None:
+            return fn
+        from .eval_engine import compose_task
+        model = self.model
+        metrics_dev = self.compute_metrics_device
+
+        def task_eval(params, state, targets, mask, lengths, rng,
+                      drop_frac, start_frac, stop_frac):
+            k1, k2 = jax.random.split(rng)
+            inputs = compose_task(targets, lengths, k1, drop_frac,
+                                  start_frac, stop_frac, drop_mods,
+                                  keep_mods,
+                                  modalities=model.modalities)
+            (infer, prior, recon), _ = model.forward(
+                params, state, inputs, rng=k2, **eval_args)
+            return metrics_dev(model, infer, prior, recon, targets,
+                               mask, lengths, rec_mults)
+
+        fn = jax.jit(task_eval)
+        self._task_eval_cache[key] = fn
+        return fn
+
+    def _evaluate_device(self, loader, args):
+        """Fully device-resident metrics-only eval (VERDICT r2 item 1).
+
+        The eval set is collated + uploaded ONCE per (dataset, batching)
+        and stays in HBM; per batch, task composition + MAP forward +
+        per-sequence metric reduction run as one jitted call; all batch
+        outputs are drained in a single ``jax.device_get``. Metric
+        semantics (masked sums, per-sequence time averages, ``order``
+        round-trip) match the host path bit-for-bit on deterministic
+        tasks; random deletion draws from jax.random instead of numpy
+        (documented deviation, distributionally identical).
+        """
+        from .eval_engine import DeviceEvalData
+
+        dkey = (id(loader.dataset), loader.batch_size,
+                getattr(loader, 'len_bucket', 0))
+        cached = self._eval_dev_cache.get(dkey)
+        if cached is None:
+            dev = DeviceEvalData(loader.dataset, self.model.modalities,
+                                 loader.batch_size,
+                                 len_bucket=getattr(loader,
+                                                    'len_bucket', 0))
+            # Pin the dataset object so id() stays unambiguous.
+            self._eval_dev_cache[dkey] = (loader.dataset, dev)
+        else:
+            dev = cached[1]
+
+        rec_mults = dict(args.rec_mults)
+        if args.eval_mods != 'all':
+            for m in rec_mults:
+                rec_mults[m] *= float(m in args.eval_mods)
+        eval_args = {'sample': False}
+        eval_args.update(args.eval_args)
+        fn = self._get_task_eval(rec_mults, eval_args,
+                                 args.drop_mods, args.keep_mods)
+
+        outs = []
+        n_timesteps = 0
+        for b in dev.batches:
+            self.rng, sub = jax.random.split(self.rng)
+            outs.append(fn(self.params, self.state, b.targets, b.mask,
+                           b.lengths_dev, sub,
+                           jnp.float32(args.drop_frac),
+                           jnp.float32(args.start_frac),
+                           jnp.float32(args.stop_frac)))
+            n_timesteps += sum(b.lengths)
+        outs = jax.device_get(outs)  # the one sync point
+
+        metrics = None
+        for b, out in zip(dev.batches, outs):
+            b_metrics = {}
+            for k, v in out.items():
+                v = np.asarray(v)
+                if v.ndim == 0:
+                    b_metrics[k] = float(v)
+                else:
+                    # (B,)-padded per-seq values → original order, real
+                    # sequences only (ghost columns live past n_real).
+                    b_metrics[k] = [v[i] for i in b.order]
+            metrics = (b_metrics if metrics is None else
+                       {k: metrics[k] + b_metrics[k] for k in metrics})
+        summary = self.summarize_metrics(metrics, n_timesteps)
+        return ({'seq_ids': [], 'targets': [], 'inputs': [],
+                 'recon': []}, summary)
 
     # ------------------------------------------------------------------
     # hooks (trainer.py:339-395)
