@@ -52,37 +52,56 @@ def last_test_mse(log):
     return mses[-1] if mses else (float("nan"), float("nan"))
 
 
+def read_existing(csv_path):
+    """Load prior rows so re-runs resume instead of redoing trials."""
+    rows = []
+    if os.path.exists(csv_path):
+        with open(csv_path, newline='') as f:
+            for r in csv.DictReader(f):
+                rows.append(dict(r))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--ref_dir', default='/tmp/ref_patched')
     ap.add_argument('--data_dir', default='/tmp/ref_spirals_data')
     ap.add_argument('--out_dir', default='/tmp/ref_h2h')
-    ap.add_argument('--methods', nargs='+', default=['bfvi', 'b-mask'])
+    ap.add_argument('--jobs', nargs='+', default=['b-mask:1', 'bfvi:2'],
+                    help='priority-ordered method:seed pairs')
     ap.add_argument('--epochs', type=int, default=500)
-    ap.add_argument('--seed', type=int, default=1)
     ap.add_argument('--lr', type=str, default='5e-3')
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
-    rows = []
-    for method in args.methods:
-        save_dir = os.path.join(args.out_dir, method)
+    csv_path = os.path.join(args.out_dir, 'task_results.csv')
+    rows = read_existing(csv_path)
+    done = {(r['method'], str(r.get('seed', '1'))) for r in rows}
+    for job in args.jobs:
+        method, seed = job.rsplit(':', 1)
+        if (method, seed) in done:
+            print(f"{job}: already in task_results.csv, skipping",
+                  flush=True)
+            continue
+        tag = f"{method}_s{seed}"
+        save_dir = os.path.join(args.out_dir, tag)
         os.makedirs(save_dir, exist_ok=True)
-        train_log = os.path.join(args.out_dir, f"{method}_train.log")
-        rc = run([sys.executable, 'spirals.py', '--method', method,
-                  '--lr', args.lr, '--epochs', str(args.epochs),
-                  '--seed', str(args.seed),
-                  '--data_dir', args.data_dir, '--save_dir', save_dir],
-                 args.ref_dir, train_log)
-        print(f"{method}: train rc={rc}", flush=True)
+        train_log = os.path.join(args.out_dir, f"{tag}_train.log")
         best = os.path.join(save_dir, 'best.pth')
         if not os.path.exists(best):
-            print(f"{method}: no best.pth, skipping tasks", flush=True)
+            rc = run([sys.executable, 'spirals.py', '--method', method,
+                      '--lr', args.lr, '--epochs', str(args.epochs),
+                      '--seed', seed,
+                      '--data_dir', args.data_dir,
+                      '--save_dir', save_dir],
+                     args.ref_dir, train_log)
+            print(f"{tag}: train rc={rc}", flush=True)
+        if not os.path.exists(best):
+            print(f"{tag}: no best.pth, skipping tasks", flush=True)
             continue
-        row = {'method': method}
+        row = {'method': method, 'seed': seed}
         for task, flags in TASKS.items():
-            task_log = os.path.join(args.out_dir,
-                                    f"{method}_{task}.log")
+            task_log = os.path.join(args.out_dir, f"{tag}_{task}.log")
             open(task_log, "w").close()
             rc = run([sys.executable, 'spirals.py', '--method', method,
                       '--evaluate', '--load', best,
@@ -92,17 +111,18 @@ def main():
             mse, std = last_test_mse(task_log)
             row[task] = mse
             row[task + '_std'] = std
-            print(f"{method}/{task}: MSE {mse} +-{std} (rc={rc})",
+            print(f"{tag}/{task}: MSE {mse} +-{std} (rc={rc})",
                   flush=True)
         rows.append(row)
+        done.add((method, seed))
         # Write incrementally so partial results survive.
-        keys = ['method'] + [k for t in TASKS for k in (t, t + '_std')]
-        with open(os.path.join(args.out_dir, 'task_results.csv'),
-                  'w', newline='') as f:
+        keys = (['method', 'seed'] +
+                [k for t in TASKS for k in (t, t + '_std')])
+        with open(csv_path, 'w', newline='') as f:
             w = csv.DictWriter(f, fieldnames=keys)
             w.writeheader()
             for r in rows:
-                w.writerow(r)
+                w.writerow({k: r.get(k, '') for k in keys})
 
 
 if __name__ == '__main__':

@@ -31,12 +31,22 @@ def make_parser(exp_name):
     parser.add_argument('--local_dir', type=str, default="./")
     parser.add_argument('--exp_name', type=str, default=exp_name)
     parser.add_argument('--config', type=yaml.safe_load, default={})
+    parser.add_argument('--no_isolate', action='store_true',
+                        default=False,
+                        help='run trials in-process instead of one '
+                             'subprocess per trial')
     return parser
 
 
 def run_grid(args, trainer_cls, trainable_name, base_config,
              corrupt_grid):
-    """Run the corruption-level × seed grid."""
+    """Run the corruption-level × seed grid.
+
+    Trials run one-subprocess-each by default (like the suites): the
+    partial grids are 10 levels × n_repeats seeds — the worst case for
+    the in-process jit-cache/allocator degradation documented in
+    tune.run.
+    """
     data_dir = os.path.abspath(trainer_cls.defaults['data_dir'])
     config = {"data_dir": data_dir}
     config.update(base_config)
@@ -45,10 +55,13 @@ def run_grid(args, trainer_cls, trainable_name, base_config,
     config.update(args.config)
     tune.register_trainable(trainable_name,
                             lambda c, r: trainer_cls.tune(c, r))
+    isolate = None if args.no_isolate else "{}:{}".format(
+        trainer_cls.__module__, trainer_cls.__name__)
     tune.run(trainable_name, name=args.exp_name, config=config,
              local_dir=args.local_dir,
              resources_per_trial={"cpu": args.trial_cpus,
-                                  "gpu": args.trial_gpus})
+                                  "gpu": args.trial_gpus},
+             isolate=isolate)
 
 
 def analyze_best3(args, corrupt_key, metric_cols):

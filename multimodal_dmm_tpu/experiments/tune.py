@@ -34,6 +34,28 @@ class grid_search:  # noqa: N801 — tune-API-compatible name
 
 _REGISTRY = {}
 
+def _json_default(v):
+    """Coerce numpy scalars to JSON numbers; repr anything else.
+
+    Ray/the reference wrote float metrics; a bare ``default=str`` turned
+    np.float32 losses into strings (lexicographic comparisons for any
+    numeric consumer of the state files — ADVICE r2).
+    """
+    try:
+        import numpy as np
+        if isinstance(v, np.floating):
+            return float(v)
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.bool_):
+            return bool(v)
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+    except ImportError:
+        pass
+    return str(v)
+
+
 
 def register_trainable(name, fn):
     """tune.register_trainable equivalent."""
@@ -139,7 +161,7 @@ def run(trainable, name, config, local_dir="./",
         if not os.path.exists(logdir):
             os.makedirs(logdir)
         with open(os.path.join(logdir, "params.json"), "w") as f:
-            json.dump(trial_config, f, default=str)
+            json.dump(trial_config, f, default=_json_default)
         print("== Trial {} ({}) ==".format(trial_id, tag))
         reporter = Reporter(logdir)
         status = "TERMINATED"
@@ -212,7 +234,7 @@ def _worker_main(spec, logdir):
         status = 1
     with open(os.path.join(logdir, "last_result.json"), "w") as f:
         json.dump({k: v for k, v in reporter.last_result.items()
-                   if not isinstance(v, (list, dict))}, f, default=str)
+                   if not isinstance(v, (list, dict))}, f, default=_json_default)
     return status
 
 
@@ -237,7 +259,7 @@ def _write_state(exp_dir, name, checkpoints):
     }
     path = os.path.join(exp_dir, "experiment_state-{}.json".format(name))
     with open(path, "w") as f:
-        json.dump(state, f, default=str)
+        json.dump(state, f, default=_json_default)
 
 
 if __name__ == "__main__":

@@ -111,6 +111,100 @@ def test_spirals_suite_micro(tmp_path, monkeypatch):
                                 "condgen"]].values).all()
 
 
+@pytest.mark.slow
+def test_spirals_partial_micro(tmp_path):
+    """Micro end-to-end of the partial-data layer (VERDICT r2 item 4):
+    run_grid over 2 deletion levels × 2 seeds (in-process for speed),
+    then the real analyze() → best-3 CSVs in the reference layout."""
+    from multimodal_dmm_tpu.data.spirals import gen_dataset
+    from multimodal_dmm_tpu.experiments import spirals_partial
+    from multimodal_dmm_tpu.experiments._partial_semisup import run_grid
+
+    data_dir = str(tmp_path / "data")
+    gen_dataset(n_examples=12, n_train=8, timesteps=20,
+                data_dir=data_dir)
+
+    args = spirals_partial.parser.parse_args([
+        "--local_dir", str(tmp_path), "--exp_name", "partial_micro",
+        "--n_repeats", "2", "--no_isolate",
+        "--config",
+        "{data_dir: %s, epochs: 1, eval_freq: 1, save_freq: 1, "
+        "batch_size: 4, device: cpu, method: bfvi, "
+        "eval_args: {flt_particles: 5}}" % data_dir,
+    ])
+    run_grid(args, spirals_partial.SpiralsTrainer, "spirals_tune",
+             base_config={"lr": 5e-3},
+             corrupt_grid=[{'uniform': 0.0}, {'uniform': 0.5}])
+    best_mean, best_std = spirals_partial.analyze(args)
+
+    exp_dir = tmp_path / "partial_micro"
+    for fn in ("best_results.csv", "best_results_std.csv"):
+        assert (exp_dir / fn).exists(), fn
+    df = pd.read_csv(exp_dir / "best_results.csv")
+    # Reference layout: del_frac index → loss/mse/rec_loss columns
+    # (best_results.csv is written index=False after groupby-mean).
+    assert set(df.columns) >= {"loss", "mse", "rec_loss"}
+    assert len(df) == 2  # one row per deletion level
+    assert np.isfinite(df[["loss", "mse", "rec_loss"]].values).all()
+    assert list(best_mean.index) == [0.0, 0.5]
+
+
+@pytest.mark.slow
+def test_spirals_semisup_micro(tmp_path):
+    """Micro semisup grid: whole-modality deletion config threads
+    through to 'config:corrupt:semi' analysis."""
+    from multimodal_dmm_tpu.data.spirals import gen_dataset
+    from multimodal_dmm_tpu.experiments import spirals_semisup
+    from multimodal_dmm_tpu.experiments._partial_semisup import run_grid
+
+    data_dir = str(tmp_path / "data")
+    gen_dataset(n_examples=12, n_train=8, timesteps=20,
+                data_dir=data_dir)
+    args = spirals_semisup.parser.parse_args([
+        "--local_dir", str(tmp_path), "--exp_name", "semisup_micro",
+        "--n_repeats", "1", "--no_isolate",
+        "--config",
+        "{data_dir: %s, epochs: 1, eval_freq: 1, save_freq: 1, "
+        "batch_size: 4, device: cpu, method: bfvi, "
+        "eval_args: {flt_particles: 5}}" % data_dir,
+    ])
+    run_grid(args, spirals_semisup.SpiralsTrainer, "spirals_tune",
+             base_config={"lr": 5e-3},
+             corrupt_grid=[{'semi': 0.4, 'modalities': ['spiral-y']}])
+    best_mean, _ = spirals_semisup.analyze(args)
+    assert list(best_mean.index) == [0.4]
+    assert np.isfinite(best_mean[["loss", "mse"]].values).all()
+
+
+def test_run_grid_passes_isolation_spec(tmp_path, monkeypatch):
+    """Default (no --no_isolate) must hand tune.run a subprocess
+    isolation spec derived from the trainer class (VERDICT r2 weak 4)."""
+    from multimodal_dmm_tpu.apps.spirals import SpiralsTrainer
+    from multimodal_dmm_tpu.experiments import _partial_semisup as ps
+
+    captured = {}
+
+    def fake_run(trainable, name, config, local_dir="./",
+                 resources_per_trial=None, trial_procs=1, isolate=None):
+        captured.update(isolate=isolate, config=config)
+        return []
+
+    monkeypatch.setattr(ps.tune, "run", fake_run)
+    args = ps.make_parser("x").parse_args(
+        ["--local_dir", str(tmp_path), "--n_repeats", "3"])
+    ps.run_grid(args, SpiralsTrainer, "t", base_config={"lr": 5e-3},
+                corrupt_grid=[{'uniform': 0.1}])
+    assert captured["isolate"] == \
+        "multimodal_dmm_tpu.apps.spirals:SpiralsTrainer"
+    assert [c for c in captured["config"]["seed"].values] == [0, 1, 2]
+
+    args = ps.make_parser("x").parse_args(
+        ["--local_dir", str(tmp_path), "--no_isolate"])
+    ps.run_grid(args, SpiralsTrainer, "t", base_config={},
+                corrupt_grid=[{'uniform': 0.1}])
+    assert captured["isolate"] is None
+
+
 def test_state_has_both_config_layouts(tmp_path):
     """The reference analysis reads trial['method'] (unprefixed) AND
     trial['config:corrupt:uniform'] (prefixed) — Ray 0.7 stored config
