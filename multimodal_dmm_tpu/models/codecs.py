@@ -122,7 +122,8 @@ def image_decoder_apply(params, state, meta, z, train):
             h = jax.nn.relu(h)
     if not meta.get("logits"):
         h = jax.nn.sigmoid(h)
-    h = jnp.transpose(h, (0, 3, 1, 2))  # → NCHW
+    if not meta.get("raw_layout"):
+        h = jnp.transpose(h, (0, 3, 1, 2))  # → NCHW
     return (h,), {"bns": new_bns}
 
 
@@ -223,7 +224,8 @@ def audio_decoder_apply(params, state, meta, z, train):
             h = jax.nn.relu(h)
     if not meta.get("logits"):
         h = jax.nn.sigmoid(h)
-    h = jnp.transpose(h, (0, 2, 1))  # → NCW
+    if not meta.get("raw_layout"):
+        h = jnp.transpose(h, (0, 2, 1))  # → NCW
     return (h,), {"bns": new_bns}
 
 
@@ -272,13 +274,20 @@ def image_decoder_codec(z_dim, img_size=64, n_channels=3, n_kernels=64,
         return image_decoder_apply(params, state, meta, z, train)
 
     def apply_logits(params, state, z, train):
+        """Pre-sigmoid activations in the decoder's NATIVE NHWC layout
+        (no edge transpose): the training loss is layout-agnostic
+        elementwise-reduce, so the caller transposes the (V-free)
+        targets via ``raw_perm`` instead of copying the much larger
+        stacked-variant activations to NCHW."""
         meta = {"feat_shape": (n_kernels, feat_size, feat_size),
                 "n_layers": n_layers, "dt": compute_dtype,
-                "logits": True}
+                "logits": True, "raw_layout": True}
         return image_decoder_apply(params, state, meta, z, train)
 
     codec = Codec(init, apply)
     codec.apply_logits = apply_logits
+    # Edge layout (C, H, W) → native (H, W, C) on the trailing dims.
+    codec.raw_perm = (1, 2, 0)
     return codec
 
 
@@ -317,11 +326,15 @@ def audio_decoder_codec(z_dim, n_freqs=1281, n_frames=5, n_kernels=16,
         return audio_decoder_apply(params, state, meta, z, train)
 
     def apply_logits(params, state, z, train):
+        """Pre-sigmoid activations in the native NWC layout (see the
+        image codec's apply_logits)."""
         meta = {"feat_shape": (n_kernels, feat_size),
                 "n_layers": n_layers, "dt": compute_dtype,
-                "logits": True}
+                "logits": True, "raw_layout": True}
         return audio_decoder_apply(params, state, meta, z, train)
 
     codec = Codec(init, apply)
     codec.apply_logits = apply_logits
+    # Edge layout (C, W) → native (W, C) on the trailing dims.
+    codec.raw_perm = (1, 0)
     return codec

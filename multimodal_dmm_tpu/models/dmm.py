@@ -153,37 +153,20 @@ class MultiDMM(MultiDGTS):
             masks = masks.any(axis=0)
         return (z_mean, z_std, masks), new_state
 
-    def decode(self, params, state, z, train=False, want_logits=False):
+    def decode(self, params, state, z, train=False):
         """z: (T, B, z_dim) → recon dict of (T, B, ...) param tuples
-        (dmm.py:192-212).
-
-        ``want_logits=True`` additionally returns the pre-sigmoid
-        activations for Bernoulli modalities whose codec supports a
-        logits channel ("{m: logits}"); the recon probs are derived by
-        one sigmoid, so when the caller's loss consumes only the
-        logits (fused logit-space BCE) XLA dead-code-eliminates the
-        probability tensor entirely."""
+        (dmm.py:192-212). (The training objective bypasses this and
+        decodes per-modality active variant rows through the codecs'
+        logits channel — see ``_variant_objective``.)"""
         t_max, b_dim = z.shape[:2]
         flat = z.reshape(t_max * b_dim, self.z_dim)
         recon = {}
-        logits = {}
         new_state = dict(state)
         for m in self.modalities:
-            dec = self.dec[m]
-            if (want_logits and self.dists[m] == "Bernoulli"
-                    and hasattr(dec, "apply_logits")):
-                out, new_state[m] = dec.apply_logits(
-                    params["dec"][m], state[m], flat, train)
-                lg = out[0].reshape((t_max, b_dim) + out[0].shape[1:])
-                logits[m] = lg
-                recon[m] = (jax.nn.sigmoid(lg),)
-                continue
-            out, new_state[m] = dec.apply(
+            out, new_state[m] = self.dec[m].apply(
                 params["dec"][m], state[m], flat, train)
             recon[m] = tuple(
                 r.reshape((t_max, b_dim) + r.shape[1:]) for r in out)
-        if want_logits:
-            return recon, logits, new_state
         return recon, new_state
 
     # -- latent dynamics ------------------------------------------------------
@@ -619,18 +602,14 @@ class MultiDMM(MultiDGTS):
             sample=sample, n_particles=smt_particles,
             sample_init=sample_init)
 
-        # Per-mode decodes (BatchNorm batch statistics unchanged vs the
-        # unmerged path), then the shared variant objective.
-        f_recon, f_logits, dec_state = self.decode(
-            params, dec_state, f_samples, train, want_logits=True)
-        s_recon, s_logits, dec_state = self.decode(
-            params, dec_state, s_samples, train, want_logits=True)
-        f_loss = self._variant_objective(f_infer, f_prior, f_recon,
-                                         vmat, targets, mask, kld_mult,
-                                         rec_mults, logits=f_logits)
-        s_loss = self._variant_objective(s_infer, s_prior, s_recon,
-                                         vmat, targets, mask, kld_mult,
-                                         rec_mults, logits=s_logits)
+        # Per-mode objectives decode separately (same call structure as
+        # the unmerged path, so BatchNorm statistics line up with it).
+        f_loss, dec_state = self._variant_objective(
+            params, dec_state, f_infer, f_prior, f_samples, vmat,
+            targets, mask, kld_mult, rec_mults, train)
+        s_loss, dec_state = self._variant_objective(
+            params, dec_state, s_infer, s_prior, s_samples, vmat,
+            targets, mask, kld_mult, rec_mults, train)
         return f_loss, s_loss, dec_state
 
     def _variant_experts(self, obs_mean, obs_std, obs_mask, vmat):
@@ -693,32 +672,35 @@ class MultiDMM(MultiDGTS):
                 k_smt, direction=direction, sample=sample,
                 n_particles=smt_particles, sample_init=sample_init)
 
-        recon, logits, dec_state = self.decode(
-            params, dec_state, z_samples, train, want_logits=True)
-        loss = self._variant_objective(infer, prior, recon, vmat,
-                                       targets, mask, kld_mult,
-                                       rec_mults, logits=logits)
+        loss, dec_state = self._variant_objective(
+            params, dec_state, infer, prior, z_samples, vmat, targets,
+            mask, kld_mult, rec_mults, train)
         return loss, dec_state
 
-    def _variant_objective(self, infer, prior, recon, vmat, targets,
-                           mask, kld_mult, rec_mults, logits=None):
-        """KLD + weighted reconstruction over the stacked variant batch
-        — equals the sum of the reference's per-forward losses.
+    def _variant_objective(self, params, dec_state, infer, prior,
+                           z_samples, vmat, targets, mask, kld_mult,
+                           rec_mults, train):
+        """Decode + KLD + weighted reconstruction over the stacked
+        variant batch — equals the sum of the reference's per-forward
+        losses (dgts.py:120-129 composition).
 
-        ``vmat`` is a STATIC numpy (V, M) presence matrix, which lets
-        each modality's reconstruction term slice down to its active
-        variants at trace time (the joint row plus its own unimodal
-        row) instead of computing a full-variant NLL and zeroing the
-        inactive rows with a tiled mask — on Weizmann-sized video that
-        halves the dominant (T, V, B, 3·64·64) elementwise pass.
-        Bernoulli modalities with ``logits`` use the fused logit-space
-        BCE (no materialized probability tensor; see
-        ops/losses.nll_bernoulli_logits)."""
+        ``vmat`` is a STATIC numpy (V, M) presence matrix. Each
+        modality decodes ONLY its active variant rows — the joint row
+        plus its own unimodal row — because the inactive rows'
+        reconstructions enter no loss term, so the reference's autograd
+        never runs their backward either; decoding them here would
+        spend the dominant deconv FLOPs/HBM bytes on work whose
+        cotangent is identically zero. (BatchNorm batch statistics are
+        computed over the (T·A·B) active batch rather than the
+        reference's per-forward (T·B); same class of documented
+        deviation as the stacked decode this replaces.) Bernoulli
+        modalities decode through the codec's logits channel and use
+        the fused logit-space BCE (no materialized probability tensor;
+        ops/losses.nll_bernoulli_logits semantics inlined)."""
         vmat = np.asarray(vmat)
         v_dim = vmat.shape[0]
         t_max = mask.shape[0]
         b_dim = mask.shape[1]
-        logits = logits or {}
 
         # KLD over every variant, masked by the (tiled) length mask
         # (z-dim-sized tensors; tiling is cheap here).
@@ -728,27 +710,46 @@ class MultiDMM(MultiDGTS):
         loss = kld_mult * losses.kld_gauss(
             infer[0], infer[1], prior[0], prior[1], mask_v)
 
-        # Reconstruction: recon (T, V, B, ...) vs targets (T, B, ...);
-        # the joint variant scores every modality, uni_i scores only i,
-        # so modality i's NLL runs over its active variant rows only.
         lmask = mask.astype(jnp.float32)  # (T, B, 1)
+        z_v = z_samples.reshape(t_max, v_dim, b_dim, self.z_dim)
+        new_dec_state = dict(dec_state)
         for i, m in enumerate(self.modalities):
+            active = np.nonzero(vmat[:, i])[0]
+            if len(active) == 0:
+                continue
+            a_dim = len(active)
+            za = z_v[:, active].reshape(t_max * a_dim * b_dim,
+                                        self.z_dim)
+            dec = self.dec[m]
+            use_logits = (self.dists[m] == "Bernoulli"
+                          and hasattr(dec, "apply_logits"))
+            if use_logits:
+                out, new_dec_state[m] = dec.apply_logits(
+                    params["dec"][m], dec_state[m], za, train)
+            else:
+                out, new_dec_state[m] = dec.apply(
+                    params["dec"][m], dec_state[m], za, train)
             if m not in targets:
                 continue
             mult = rec_mults.get(m, 1.0) if rec_mults else 1.0
             if mult == 0:
                 continue
-            active = np.nonzero(vmat[:, i])[0]
-            if len(active) == 0:
-                continue
             x = targets[m]  # (T, B, ...)
+            raw_perm = getattr(dec, "raw_perm", None)
+            if use_logits and raw_perm is not None:
+                # apply_logits returns the decoder's native layout; the
+                # BCE is layout-agnostic, so transpose the (V-free)
+                # targets instead of copying the stacked activations.
+                x = jnp.transpose(
+                    x, (0, 1) + tuple(2 + p for p in raw_perm))
             # Length mask broadcastable over (T, A, B, ...): (T,1,B,1..)
             lm_a = lmask.reshape(
                 (t_max, 1, b_dim) + (1,) * (x.ndim - 3) + (1,))
-            if self.dists[m] == "Bernoulli" and m in logits:
-                lg = logits[m].reshape(
-                    (t_max, v_dim, b_dim) + logits[m].shape[2:])
-                lg = lg[:, active]  # (T, A, B, ...)
+            rec = tuple(
+                r.reshape((t_max, a_dim, b_dim) + r.shape[1:])
+                for r in out)
+            if use_logits:
+                lg = rec[0]  # (T, A, B, ...) pre-sigmoid
                 obs = ~jnp.isnan(x)
                 xs = jnp.where(obs, x, 0.0)[:, None]
                 cm = obs.astype(jnp.float32)[:, None] * lm_a
@@ -758,21 +759,18 @@ class MultiDMM(MultiDGTS):
                 nll = jnp.where(cm > 0, nll, 0.0)
                 loss += mult * jnp.sum(nll * cm)
                 continue
-            rec = tuple(
-                r.reshape((t_max, v_dim, b_dim) + r.shape[2:])[:, active]
-                for r in recon[m])
             xa = x[:, None]  # (T, 1, B, ...) broadcasts over A
             if self.dists[m] == "Bernoulli":
                 loss += mult * losses.nll_bernoulli(rec[0], xa, lm_a)
             elif self.dists[m] == "Categorical":
                 labels = jnp.broadcast_to(
-                    xa, (t_max, len(active)) + x.shape[1:])
+                    xa, (t_max, a_dim) + x.shape[1:])
                 loss += mult * losses.nll_categorical(
                     rec[0], labels, lm_a)
             else:
                 loss += mult * losses.nll_gauss(rec[0], rec[1], xa,
                                                 lm_a)
-        return loss
+        return loss, new_dec_state
 
 
 if __name__ == "__main__":
