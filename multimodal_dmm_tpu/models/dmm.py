@@ -54,6 +54,14 @@ class MultiDMM(MultiDGTS):
         # hand-derived backward; usable in training and eval.
         self.use_scan_kernel = use_scan_kernel
         self._scan_kernel_interpret = False
+        # 2-D mesh prototype (SURVEY §5.8/§7.1): when set via
+        # ``set_variant_mesh``, the stacked (V·B) variant batch of the
+        # fused objective is sharding-constrained so the variant rows
+        # spread over the mesh's 'model' axis and the data rows over
+        # 'data' — the z-scan is sequential in T, but V and B are
+        # embarrassingly parallel.
+        self.vb_mesh = None
+        self.vb_axes = ("model", "data")
         self.modalities = list(modalities)
         self.n_mods = len(self.modalities)
         self.dims = dict(zip(self.modalities, dims))
@@ -569,6 +577,7 @@ class MultiDMM(MultiDGTS):
         vb = v_dim * b_dim
         zm, zs, om = self._variant_experts(obs_mean, obs_std, obs_mask,
                                            vmat)
+        zm, zs, om = self._constrain_vb(zm, zs, om, vb_axis=2)
 
         # Same key derivation as two _fused_mode_loss calls.
         kf_flt, _ = jax.random.split(kf)
@@ -612,6 +621,34 @@ class MultiDMM(MultiDGTS):
             targets, mask, kld_mult, rec_mults, train)
         return f_loss, s_loss, dec_state
 
+    def set_variant_mesh(self, mesh, axes=("model", "data")):
+        """Enable 2-D sharding of the fused objective's stacked batch.
+
+        ``mesh`` must have the two named axes in ``axes``: variant rows
+        shard over the first, batch columns over the second. The V·B
+        merged dimension is constrained with a tuple spec
+        ``P(..., (model, data), ...)`` (V major), so V must divide the
+        model-axis size × integer and B the data-axis size. Pass
+        ``None`` to disable. Static at trace time — changing it forces
+        a retrace.
+        """
+        self.vb_mesh = mesh
+        self.vb_axes = tuple(axes)
+
+    def _constrain_vb(self, *tensors, vb_axis):
+        """Apply the 2-D (model × data) sharding constraint to stacked
+        variant tensors whose ``vb_axis`` dimension is the merged V·B."""
+        if self.vb_mesh is None:
+            return tensors if len(tensors) > 1 else tensors[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        out = []
+        for x in tensors:
+            spec = [None] * x.ndim
+            spec[vb_axis] = self.vb_axes
+            sh = NamedSharding(self.vb_mesh, P(*spec))
+            out.append(jax.lax.with_sharding_constraint(x, sh))
+        return tuple(out) if len(out) > 1 else out[0]
+
     def _variant_experts(self, obs_mean, obs_std, obs_mask, vmat):
         """Stack the (1 + n_mods) loss variants into one (V·B) batch:
         per-variant expert masks (M,T,B)·(V,M) → (M,T,VB) and the
@@ -654,6 +691,7 @@ class MultiDMM(MultiDGTS):
         vb = v_dim * b_dim
         zm, zs, om = self._variant_experts(obs_mean, obs_std, obs_mask,
                                            vmat)
+        zm, zs, om = self._constrain_vb(zm, zs, om, vb_axis=2)
 
         k_flt, k_smt = jax.random.split(rng)
         direction = "fwd" if mode in ("ffilter", "bsmooth") else "bwd"
@@ -711,6 +749,7 @@ class MultiDMM(MultiDGTS):
             infer[0], infer[1], prior[0], prior[1], mask_v)
 
         lmask = mask.astype(jnp.float32)  # (T, B, 1)
+        z_samples = self._constrain_vb(z_samples, vb_axis=1)
         z_v = z_samples.reshape(t_max, v_dim, b_dim, self.z_dim)
         new_dec_state = dict(dec_state)
         for i, m in enumerate(self.modalities):

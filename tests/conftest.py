@@ -21,5 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TPU test lane: `MDMM_TPU=1 python -m pytest tests/ -m tpu -q` keeps
+# the preloaded axon TPU backend so the real-chip behaviors (Pallas
+# non-interpret mode, bf16 MXU paths) run on silicon. Default runs pin
+# the virtual 8-device CPU mesh.
+if os.environ.get("MDMM_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
