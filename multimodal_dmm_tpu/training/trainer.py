@@ -800,6 +800,21 @@ class Trainer:
         from .diagnostics import profile_ctx
         profile_epochs = {2} if getattr(args, 'profile_dir', None) \
             else set()
+        # SIGTERM durability (ADVICE r2): the best snapshot is written
+        # lazily every save_freq epochs; a polite kill between writes
+        # would lose up to save_freq epochs of improvement. Convert
+        # SIGTERM into an exception so the `finally` below persists the
+        # pending snapshot first. (SIGKILL/OOM still can't be covered.)
+        import signal
+
+        def _on_term(signum, frame):
+            raise KeyboardInterrupt("SIGTERM")
+
+        prev_term = None
+        try:
+            prev_term = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread
         try:
           for epoch in range(1, args.epochs + 1):
             print('---')
@@ -838,12 +853,17 @@ class Trainer:
                     os.path.join(args.save_dir,
                                  "epoch_{}.pth".format(epoch)))
         finally:
-            # StopTrial (reporter done=True, e.g. NaN loss) must still
-            # leave the best pre-termination checkpoint on disk - the
-            # suites' analysis depends on it (reference trial
-            # semantics).
+            # StopTrial (reporter done=True, e.g. NaN loss) and SIGTERM
+            # must still leave the best pre-termination checkpoint on
+            # disk - the suites' analysis depends on it (reference
+            # trial semantics).
             if best_snapshot is not None:
                 self._write_snapshot(best_snapshot, args, "best.pth")
+            if prev_term is not None:
+                try:
+                    signal.signal(signal.SIGTERM, prev_term)
+                except ValueError:
+                    pass
         self.save_checkpoint(args.modalities,
                              os.path.join(args.save_dir, "last.pth"))
         self.save_params(args)

@@ -114,3 +114,34 @@ def test_nonfinite_updates_are_skipped():
     up, st = tx.update(good, st, p1)
     p2 = optax.apply_updates(p1, up)
     assert not np.allclose(np.asarray(p2["w"]), np.asarray(p1["w"]))
+
+
+def test_sigterm_persists_pending_best_snapshot(tiny_env, tmp_path):
+    """A polite SIGTERM between save points must still write the
+    pending best.pth (deferred-snapshot durability, ADVICE r2)."""
+    import signal
+
+    save_dir = str(tmp_path / "sigterm_save")
+    # eval every epoch, save only at epoch 100 → the best snapshot is
+    # pending in memory when the signal lands at epoch 3.
+    args = make_args(tiny_env, save_dir, epochs=100, eval_freq=1,
+                     save_freq=100)
+    trainer = SpiralsTrainer(args)
+    orig_train = trainer.train
+    calls = {"n": 0}
+
+    def train_then_term(loader, epoch, a):
+        out = orig_train(loader, epoch, a)
+        calls["n"] += 1
+        if calls["n"] == 3:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    trainer.train = train_then_term
+    with pytest.raises(KeyboardInterrupt):
+        trainer.run_train(args)
+    assert os.path.exists(os.path.join(save_dir, "best.pth"))
+    # The previous SIGTERM disposition is restored.
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler) or callable(
+        signal.getsignal(signal.SIGTERM))
