@@ -299,9 +299,22 @@ class Trainer:
                            donate_argnums=donate)
         return jax.jit(train_step, donate_argnums=donate)
 
+    @staticmethod
+    def _canon_key(obj):
+        """Order-insensitive hashable form of nested dict/list config
+        values, so e.g. two --train_args dicts with different insertion
+        orders hit the same jitted step instead of a minutes-long
+        recompile on a remote-compile backend."""
+        if isinstance(obj, dict):
+            return tuple(sorted(
+                (k, Trainer._canon_key(v)) for k, v in obj.items()))
+        if isinstance(obj, (list, tuple)):
+            return tuple(Trainer._canon_key(v) for v in obj)
+        return obj
+
     def _get_train_step(self, args):
-        key = (tuple(sorted(args.rec_mults.items())),
-               tuple(sorted(args.train_args.items())),
+        key = (self._canon_key(args.rec_mults),
+               self._canon_key(args.train_args),
                bool(args.gradients))
         if self._train_step is None or self._train_step_key != key:
             self._train_step = self._make_train_step(
@@ -502,8 +515,7 @@ class Trainer:
         serves every task of an experiment suite (recon/half/fwd/bwd/
         condgen differ only in those fracs and the static mod tuples).
         """
-        key = (tuple(sorted(rec_mults.items())),
-               tuple(sorted(eval_args.items())),
+        key = (self._canon_key(rec_mults), self._canon_key(eval_args),
                tuple(drop_mods), tuple(keep_mods))
         fn = self._task_eval_cache.get(key)
         if fn is not None:

@@ -145,3 +145,17 @@ def test_sigterm_persists_pending_best_snapshot(tiny_env, tmp_path):
     assert signal.getsignal(signal.SIGTERM) in (
         signal.SIG_DFL, signal.default_int_handler) or callable(
         signal.getsignal(signal.SIGTERM))
+
+
+def test_train_step_cache_key_order_insensitive(tiny_env, tmp_path):
+    """Nested dicts with different insertion orders must hit the same
+    jitted train step (no silent recompiles — VERDICT r2 weak 6)."""
+    args = make_args(tiny_env, str(tmp_path / "ck"))
+    trainer = SpiralsTrainer(args)
+    args.train_args = {"sample": False, "extra": {"a": 1, "b": 2}}
+    args.rec_mults = {"spiral-x": 1.0, "spiral-y": 2.0}
+    step1 = trainer._get_train_step(args)
+    args.train_args = {"extra": {"b": 2, "a": 1}, "sample": False}
+    args.rec_mults = {"spiral-y": 2.0, "spiral-x": 1.0}
+    step2 = trainer._get_train_step(args)
+    assert step1 is step2
