@@ -35,6 +35,12 @@ def make_parser(exp_name):
                         default=False,
                         help='run trials in-process instead of one '
                              'subprocess per trial')
+    parser.add_argument('--levels', type=float, nargs='+', default=None,
+                        metavar='F',
+                        help='corruption levels to run (default: the '
+                             'reference grid 0.0-0.9 in 0.1 steps); '
+                             'lets a reduced-but-honest protocol (e.g. '
+                             '0 0.3 0.6 0.9) run in bounded wall time')
     return parser
 
 

@@ -10,9 +10,11 @@ parser = make_parser("spirals_partial")
 
 
 def run(args):
+    levels = (args.levels if args.levels is not None
+              else [i / 10 for i in range(10)])
     run_grid(args, SpiralsTrainer, "spirals_tune",
              base_config={"lr": 5e-3},
-             corrupt_grid=[{'uniform': i / 10} for i in range(10)])
+             corrupt_grid=[{'uniform': f} for f in levels])
 
 
 def analyze(args):

@@ -10,11 +10,12 @@ parser = make_parser("spirals_semisup")
 
 
 def run(args):
+    levels = (args.levels if args.levels is not None
+              else [i / 10 for i in range(10)])
     run_grid(args, SpiralsTrainer, "spirals_tune",
              base_config={"lr": 5e-3},
-             corrupt_grid=[{'semi': i / 10,
-                            'modalities': ['spiral-y']}
-                           for i in range(10)])
+             corrupt_grid=[{'semi': f, 'modalities': ['spiral-y']}
+                           for f in levels])
 
 
 def analyze(args):

@@ -17,7 +17,9 @@ def run(args):
                  "eval_mods": ['video', 'mask', 'action'],
                  "drop_mods": ['mask', 'action', 'person'],
              },
-             corrupt_grid=[{'uniform': i / 10} for i in range(10)])
+             corrupt_grid=[{'uniform': f} for f in (
+                 args.levels if args.levels is not None
+                 else [i / 10 for i in range(10)])])
 
 
 def analyze(args):

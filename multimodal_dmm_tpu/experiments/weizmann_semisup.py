@@ -18,8 +18,10 @@ def run(args):
                  "eval_mods": ['video', 'action'],
                  "drop_mods": ['action', 'person'],
              },
-             corrupt_grid=[{'semi': i / 10, 'modalities': ['action']}
-                           for i in range(10)])
+             corrupt_grid=[{'semi': f, 'modalities': ['action']}
+                           for f in (args.levels if args.levels
+                                     is not None
+                                     else [i / 10 for i in range(10)])])
 
 
 def analyze(args):
