@@ -136,6 +136,10 @@ def evaluate(trial_config, trial_dir):
     # Metrics-only evaluation: no AVI artifacts, no host pull of full
     # reconstructions (trainer.run_eval's skip path).
     base_args.save_args = {'skip': True}
+    # The analysis CSVs consume the TEST metrics only (matching the
+    # reference analyze), so skip the train-set pass — on Weizmann it
+    # is ~6x the test set's upload+eval work per task.
+    base_args.eval_sets = ['test']
     task_train_metrics, task_train_std = {}, {}
     task_test_metrics, task_test_std = {}, {}
     # One trainer serves every task: the checkpoint/model/data are
@@ -159,9 +163,13 @@ def evaluate(trial_config, trial_dir):
             args = trainer.post_build_args(args)
         train_metrics, test_metrics = trainer.run_eval(args)
         metric_name = TASK_METRIC_NAMES[task]
-        task_train_metrics[task] = train_metrics[metric_name]
+        task_train_metrics[task] = (float('nan') if train_metrics is
+                                None else
+                                train_metrics[metric_name])
         task_test_metrics[task] = test_metrics[metric_name]
-        task_train_std[task] = train_metrics[metric_name + '_std']
+        task_train_std[task] = (float('nan') if train_metrics is
+                            None else
+                            train_metrics[metric_name + '_std'])
         task_test_std[task] = test_metrics[metric_name + '_std']
     return (task_train_metrics, task_train_std,
             task_test_metrics, task_test_std)
