@@ -35,6 +35,9 @@ def make_parser(exp_name):
                         default=False,
                         help='run trials in-process instead of one '
                              'subprocess per trial')
+    parser.add_argument('--resume', action='store_true', default=False,
+                        help='skip trials already completed in '
+                             'exp_name (continue an interrupted sweep)')
     parser.add_argument('--levels', type=float, nargs='+', default=None,
                         metavar='F',
                         help='corruption levels to run (default: the '
@@ -67,7 +70,7 @@ def run_grid(args, trainer_cls, trainable_name, base_config,
              local_dir=args.local_dir,
              resources_per_trial={"cpu": args.trial_cpus,
                                   "gpu": args.trial_gpus},
-             isolate=isolate)
+             isolate=isolate, resume=args.resume)
 
 
 def analyze_best3(args, corrupt_key, metric_cols):

@@ -38,6 +38,9 @@ parser.add_argument('--config', type=yaml.safe_load, default={},
 parser.add_argument('--no_isolate', action='store_true', default=False,
                     help='run trials in-process instead of one fresh '
                          'subprocess per trial')
+parser.add_argument('--resume', action='store_true', default=False,
+                    help='skip trials already completed in exp_name '
+                         '(continue an interrupted sweep)')
 
 TASKS = ['recon', 'half', 'fwd', 'bwd', 'condgen']
 
@@ -68,6 +71,7 @@ def run(args):
              local_dir=args.local_dir,
              resources_per_trial={"cpu": args.trial_cpus,
                                   "gpu": args.trial_gpus},
+             resume=args.resume,
              isolate=None if args.no_isolate else
              "multimodal_dmm_tpu.apps.spirals:SpiralsTrainer")
 

@@ -121,7 +121,8 @@ def _tag(i, config, grid_keys):
 
 
 def run(trainable, name, config, local_dir="./",
-        resources_per_trial=None, trial_procs=1, isolate=None):
+        resources_per_trial=None, trial_procs=1, isolate=None,
+        resume=False):
     """tune.run equivalent: expand the grid and execute every trial.
 
     ``trainable`` is a registered name or a callable ``fn(config,
@@ -136,6 +137,12 @@ def run(trainable, name, config, local_dir="./",
     (observed ~10-50x on late trials of a 15-trial TPU sweep); a fresh
     process per trial keeps every trial at first-trial speed for ~20 s
     of startup overhead each.
+
+    ``resume``: skip trials whose logdir already holds a completed
+    ``last_result.json`` (done=True), reconstructing their checkpoint
+    entries from disk — relaunching an interrupted sweep continues
+    from the first unfinished trial instead of retraining the grid.
+    A partially-trained trial (no last_result.json) restarts fresh.
     """
     if isinstance(trainable, str):
         fn = _REGISTRY[trainable]
@@ -160,6 +167,21 @@ def run(trainable, name, config, local_dir="./",
                               "{}_{}".format(trainable_name, tag))
         if not os.path.exists(logdir):
             os.makedirs(logdir)
+        if resume:
+            prior = _load_completed(logdir)
+            if prior is not None:
+                print("== Trial {} ({}) == [resume: already done]"
+                      .format(trial_id, tag))
+                checkpoints.append({
+                    "trial_id": trial_id,
+                    "experiment_tag": tag,
+                    "logdir": logdir,
+                    "status": "TERMINATED",
+                    "config": copy.deepcopy(trial_config),
+                    "last_result": prior,
+                })
+                _write_state(exp_dir, name, checkpoints)
+                continue
         with open(os.path.join(logdir, "params.json"), "w") as f:
             json.dump(trial_config, f, default=_json_default)
         print("== Trial {} ({}) ==".format(trial_id, tag))
@@ -179,6 +201,11 @@ def run(trainable, name, config, local_dir="./",
             finally:
                 os.chdir(root)
             last_result = reporter.last_result
+            with open(os.path.join(logdir, "last_result.json"),
+                      "w") as f:
+                json.dump({k: v for k, v in last_result.items()
+                           if not isinstance(v, (list, dict))},
+                          f, default=_json_default)
         checkpoints.append({
             "trial_id": trial_id,
             "experiment_tag": tag,
@@ -189,6 +216,20 @@ def run(trainable, name, config, local_dir="./",
         })
         _write_state(exp_dir, name, checkpoints)
     return checkpoints
+
+
+def _load_completed(logdir):
+    """Return the prior last_result dict if this trial finished
+    (last_result.json present with done=True), else None."""
+    lr_path = os.path.join(logdir, "last_result.json")
+    if not os.path.exists(lr_path):
+        return None
+    try:
+        with open(lr_path) as f:
+            last = json.load(f)
+    except ValueError:
+        return None
+    return last if last.get("done") else None
 
 
 def _run_trial_subprocess(spec, logdir):

@@ -185,7 +185,8 @@ def test_run_grid_passes_isolation_spec(tmp_path, monkeypatch):
     captured = {}
 
     def fake_run(trainable, name, config, local_dir="./",
-                 resources_per_trial=None, trial_procs=1, isolate=None):
+                 resources_per_trial=None, trial_procs=1, isolate=None,
+                 resume=False):
         captured.update(isolate=isolate, config=config)
         return []
 
@@ -222,3 +223,30 @@ def test_state_has_both_config_layouts(tmp_path):
     assert "method" in df.columns
     assert "config:corrupt:uniform" in df.columns
     assert set(df["config:corrupt:uniform"]) == {0.3}
+
+
+def test_resume_skips_completed_trials(tmp_path):
+    calls = []
+
+    def trainable(config, reporter):
+        calls.append(config["x"])
+        reporter(mean_loss=float(config["x"]), best_loss=float(config["x"]),
+                 training_iteration=1, done=True)
+
+    cfg = {"x": tune.grid_search([0, 1, 2])}
+    tune.run(trainable, name="resume_exp", config=cfg,
+             local_dir=str(tmp_path))
+    assert calls == [0, 1, 2]
+
+    # Simulate an interrupted sweep: drop the last trial's completion.
+    exp_dir = tmp_path / "resume_exp"
+    last_trial = sorted(exp_dir.glob("trainable_*"))[-1]
+    (last_trial / "last_result.json").unlink()
+
+    calls.clear()
+    ckpts = tune.run(trainable, name="resume_exp", config=cfg,
+                     local_dir=str(tmp_path), resume=True)
+    assert calls == [2]  # only the unfinished trial reruns
+    assert len(ckpts) == 3
+    assert all(c["status"] == "TERMINATED" for c in ckpts)
+    assert [c["last_result"]["mean_loss"] for c in ckpts] == [0.0, 1.0, 2.0]
