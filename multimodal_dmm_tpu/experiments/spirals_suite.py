@@ -89,6 +89,8 @@ def analyze(args):
     task_results_std = {task: [] for task in TASKS}
     task_results['method'] = []
     task_results_std['method'] = []
+    # Raw per-trial task metrics (seed-resolved distributions).
+    per_seed_rows = []
 
     for i, trial in df.iterrows():
         print('===')
@@ -118,6 +120,9 @@ def analyze(args):
         for task in TASKS:
             task_results[task].append(task_metrics[task])
             task_results_std[task].append(task_std[task])
+        per_seed_rows.append(dict(method=method,
+                                  seed=trial_config.get('seed'),
+                                  **task_metrics))
 
     run_results = pd.DataFrame(run_results).groupby('method').mean()
     print(run_results)
@@ -130,6 +135,8 @@ def analyze(args):
     task_results.to_csv(os.path.join(exp_dir, 'task_results.csv'))
     task_results_std.to_csv(
         os.path.join(exp_dir, 'task_results_std.csv'))
+    pd.DataFrame(per_seed_rows).to_csv(
+        os.path.join(exp_dir, 'task_results_runs.csv'), index=False)
 
 
 def evaluate(trial_config, trial_dir):

@@ -101,8 +101,11 @@ def test_spirals_suite_micro(tmp_path, monkeypatch):
     spirals_suite.analyze(args)
     exp_dir = tmp_path / "suite_micro"
     for fn in ("run_results.csv", "task_results.csv",
-               "task_results_std.csv"):
+               "task_results_std.csv", "task_results_runs.csv"):
         assert (exp_dir / fn).exists(), fn
+    runs_df = pd.read_csv(exp_dir / "task_results_runs.csv")
+    assert set(runs_df.columns) >= {"method", "seed", "recon"}
+    assert len(runs_df) == 2  # one row per trial, seed-resolved
     task_df = pd.read_csv(exp_dir / "task_results.csv")
     assert set(task_df.columns) >= {"method", "recon", "half", "fwd",
                                     "bwd", "condgen"}
