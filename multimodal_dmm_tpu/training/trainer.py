@@ -126,11 +126,16 @@ def _build_parser():
                              'and print per-step timing summaries')
     parser.add_argument('--device', type=str, default='tpu',
                         help='jax platform to use (tpu/cpu)')
-    parser.add_argument('--mesh', type=int, default=0, metavar='N',
-                        help='data-parallel over an N-device mesh '
-                             '(0/1 = single device; batch axis is '
+    parser.add_argument('--mesh', type=str, default='0', metavar='SPEC',
+                        help='device mesh: N = data-parallel over N '
+                             'devices (0/1 = single device; batch axis '
                              'sharded over ICI, params/opt replicated, '
-                             'gradient all-reduce inserted by GSPMD)')
+                             'gradient all-reduce inserted by GSPMD); '
+                             'NxM = 2-D data x model mesh — batch over '
+                             'the N-way data axis, the fused '
+                             'objective\'s stacked variant/particle '
+                             'rows over the M-way model axis '
+                             '(MultiDMM only)')
     parser.add_argument('--anomaly_check', action='store_true',
                         default=False,
                         help='enable jax_debug_nans NaN checking')
@@ -239,26 +244,44 @@ class Trainer:
 
         args = self.post_build_args(args)
 
-        # Data-parallel mesh (SURVEY §5.8: pjit-DP over ICI is the
-        # TPU-native scale-out; the reference is single-device).
+        # Device mesh (SURVEY §5.8: pjit-DP over ICI is the TPU-native
+        # scale-out; the reference is single-device). '--mesh N' is
+        # 1-D data parallelism; '--mesh NxM' adds a model axis that
+        # shards the fused objective's stacked variant/particle rows
+        # (parallel.mesh.make_mesh_2d — the z-scan is sequential in T,
+        # but V and B are embarrassingly parallel).
         self.mesh = None
-        n_mesh = int(getattr(args, 'mesh', 0) or 0)
-        if n_mesh > 1:
-            from ..parallel import make_mesh, replicated
+        self._mesh_n_data = 1
+        mesh_spec = str(getattr(args, 'mesh', 0) or 0).lower()
+        n_data, n_model = ((int(v) for v in mesh_spec.split('x'))
+                           if 'x' in mesh_spec else (int(mesh_spec), 1))
+        if n_data * n_model > 1:
+            from ..parallel import make_mesh, make_mesh_2d, replicated
             avail = len(jax.devices())
-            if avail < n_mesh:
+            if avail < n_data * n_model:
                 raise ValueError(
-                    f"--mesh {n_mesh} requested but only {avail} devices "
-                    f"are visible")
-            if args.batch_size % n_mesh:
+                    f"--mesh {mesh_spec} needs {n_data * n_model} "
+                    f"devices but only {avail} are visible")
+            if args.batch_size % n_data:
                 raise ValueError(
                     f"--batch_size {args.batch_size} must be divisible "
-                    f"by --mesh {n_mesh}")
-            self.mesh = make_mesh(n_mesh)
+                    f"by the data axis of --mesh {mesh_spec}")
+            if n_model > 1:
+                if not hasattr(self.model, 'set_variant_mesh'):
+                    raise ValueError(
+                        f"--mesh {mesh_spec}: model "
+                        f"{type(self.model).__name__} has no stacked-"
+                        f"variant axis to shard; use --mesh N")
+                self.mesh = make_mesh_2d(n_data, n_model)
+                self.model.set_variant_mesh(self.mesh)
+            else:
+                self.mesh = make_mesh(n_data)
+            self._mesh_n_data = n_data
             rep = replicated(self.mesh)
             self.params = jax.device_put(self.params, rep)
             self.opt_state = jax.device_put(self.opt_state, rep)
-            print(f'Data-parallel mesh: {n_mesh} devices')
+            print('Mesh: {} devices ({} data x {} model)'.format(
+                n_data * n_model, n_data, n_model))
 
         self._train_step = None
         self._train_step_key = None
@@ -345,7 +368,7 @@ class Trainer:
         if self.mesh is None:
             return jnp.asarray(x)
         from ..parallel import batch_sharding, replicated
-        if np.shape(x)[1] % len(self.mesh.devices.flat) == 0:
+        if np.shape(x)[1] % self._mesh_n_data == 0:
             sh = batch_sharding(self.mesh, np.ndim(x), 1)
         else:
             sh = replicated(self.mesh)

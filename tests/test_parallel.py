@@ -214,3 +214,55 @@ def test_dp_step_output_sharding_is_replicated():
     # Replicated output → addressable on all 8 devices
     assert len(leaf.sharding.device_set) == 8
     assert leaf.sharding.is_fully_replicated
+
+
+def test_trainer_mesh_2d_matches_single_device_map_loss(tmp_path):
+    """--mesh 4x2 (data x model) through the ordinary Trainer: one
+    MAP-mode epoch reproduces the single-device epoch loss, and the
+    variant-sharding hook is armed on the model."""
+    from multimodal_dmm_tpu.apps.spirals import SpiralsTrainer
+    from multimodal_dmm_tpu.data.spirals import gen_dataset
+    from multimodal_dmm_tpu.training.loader import BatchLoader
+
+    data_dir = str(tmp_path / "data")
+    gen_dataset(n_examples=16, n_train=8, timesteps=16,
+                data_dir=data_dir)
+    losses = {}
+    for tag, mesh_spec in (("single", None), ("mesh2d", "4x2")):
+        argv = ["--data_dir", data_dir,
+                "--save_dir", str(tmp_path / ("save_" + tag)),
+                "--epochs", "1", "--batch_size", "8", "--device", "cpu",
+                "--burst_frac", "0.0", "--seed", "3",
+                "--train_args",
+                "{sample: false, match_mult: 0.0, train_particles: 1}"]
+        if mesh_spec:
+            argv += ["--mesh", mesh_spec]
+        args = SpiralsTrainer.parser.parse_args(argv)
+        trainer = SpiralsTrainer(args)
+        if mesh_spec:
+            assert trainer.mesh is not None
+            assert trainer.mesh.devices.shape == (4, 2)
+            assert trainer.model.vb_mesh is trainer.mesh
+            assert trainer._mesh_n_data == 4
+        loader = BatchLoader(trainer.train_data,
+                             batch_size=args.batch_size, shuffle=False)
+        losses[tag] = trainer.train(loader, 1, args)
+    np.testing.assert_allclose(losses["mesh2d"], losses["single"],
+                               rtol=2e-5)
+
+
+def test_trainer_mesh_2d_rejects_variantless_model(tmp_path):
+    """DKS has no stacked-variant axis: --mesh NxM must fail fast with
+    a clear error instead of silently training unsharded."""
+    from multimodal_dmm_tpu.apps.spirals import SpiralsTrainer
+    from multimodal_dmm_tpu.data.spirals import gen_dataset
+
+    data_dir = str(tmp_path / "data")
+    gen_dataset(n_examples=8, n_train=4, timesteps=8,
+                data_dir=data_dir)
+    argv = ["--data_dir", data_dir, "--save_dir", str(tmp_path / "s"),
+            "--method", "b-mask", "--device", "cpu", "--batch_size",
+            "4", "--mesh", "4x2"]
+    args = SpiralsTrainer.parser.parse_args(argv)
+    with pytest.raises(ValueError, match="variant"):
+        SpiralsTrainer(args)
