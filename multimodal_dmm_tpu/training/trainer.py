@@ -475,7 +475,7 @@ class Trainer:
         export needs the full reconstructions anyway).
         """
         collect_results = collect_results or args.visualize
-        if (not collect_results and self.mesh is None
+        if (not collect_results
                 and getattr(self, "compute_metrics_device", None)
                 is not None):
             return self._evaluate_device(loader, args)
@@ -563,6 +563,24 @@ class Trainer:
         self._task_eval_cache[key] = fn
         return fn
 
+    def _eval_put(self, x):
+        """Mesh-aware placement for pre-uploaded eval batches: the batch
+        axis (axis 1 for (T, B, ...) targets/mask, axis 0 for (B,)
+        lengths) shards over the mesh data axis when divisible, else
+        replicates — so multi-chip runs keep the device-resident eval
+        path instead of falling back to host composition + per-batch
+        re-upload (VERDICT r3 item 3)."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return jax.device_put(x)
+        from ..parallel import batch_sharding, replicated
+        b_axis = 0 if x.ndim == 1 else 1
+        if x.shape[b_axis] % self._mesh_n_data == 0:
+            sh = batch_sharding(self.mesh, x.ndim, b_axis)
+        else:
+            sh = replicated(self.mesh)
+        return jax.device_put(x, sh)
+
     def _evaluate_device(self, loader, args):
         """Fully device-resident metrics-only eval (VERDICT r2 item 1).
 
@@ -584,7 +602,8 @@ class Trainer:
             dev = DeviceEvalData(loader.dataset, self.model.modalities,
                                  loader.batch_size,
                                  len_bucket=getattr(loader,
-                                                    'len_bucket', 0))
+                                                    'len_bucket', 0),
+                                 put=self._eval_put)
             # Pin the dataset object so id() stays unambiguous.
             self._eval_dev_cache[dkey] = (loader.dataset, dev)
         else:
