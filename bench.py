@@ -44,13 +44,14 @@ def main():
     bf16 = "--f32" not in sys.argv
     merge = "--merge" in sys.argv
     bf16_gtf = "--bf16_gtf" in sys.argv
+    scan_kernel = "--scan_kernel" in sys.argv
     unroll = 1
     if "--unroll" in sys.argv:
         unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
     dt = jnp.bfloat16 if bf16 else None
     log("codec compute dtype:", "bf16" if bf16 else "f32",
         "| merge_mode_scans:", merge, "| unroll:", unroll,
-        "| bf16_gtf:", bf16_gtf)
+        "| bf16_gtf:", bf16_gtf, "| scan_kernel:", scan_kernel)
 
     model = MultiDMM(
         ["video", "person", "action"],
@@ -59,7 +60,8 @@ def main():
         encoders={"video": image_encoder_codec(Z, gauss_out=True,
                                                compute_dtype=dt)},
         decoders={"video": image_decoder_codec(Z, compute_dtype=dt)},
-        z_dim=Z, h_dim=Z, scan_unroll=unroll, bf16_gtf=bf16_gtf)
+        z_dim=Z, h_dim=Z, scan_unroll=unroll, bf16_gtf=bf16_gtf,
+        use_scan_kernel=scan_kernel)
     params, state = model.init(jax.random.PRNGKey(0))
 
     optimizer = optax.chain(optax.add_decayed_weights(1e-4),
