@@ -45,7 +45,7 @@ def main():
     merge = "--merge" in sys.argv
     bf16_gtf = "--bf16_gtf" in sys.argv
     scan_kernel = "--scan_kernel" in sys.argv
-    unroll = 1
+    unroll = "auto"  # model default: full 25-step unroll on TPU
     if "--unroll" in sys.argv:
         unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
     dt = jnp.bfloat16 if bf16 else None

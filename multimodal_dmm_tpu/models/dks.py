@@ -176,7 +176,8 @@ class MultiDKS(MultiDGTS):
                     h_next = m_b * h_next + (1 - m_b) * h
                 return h_next, h_next[-1]
 
-            _, h_seq = jax.lax.scan(cell, h0, (f, mask))
+            _, h_seq = jax.lax.scan(cell, h0, (f, mask),
+                                    unroll=tnn.auto_unroll())
             if self.rnn_dir == 'bwd':
                 h_seq = h_seq[::-1]
             outs.append(h_seq)
@@ -240,7 +241,8 @@ class MultiDKS(MultiDGTS):
         # z0_mean (dks.py:253-255 sets z_t to the prior mean before the
         # combiner input is formed).
         _, (p_mean, p_std, i_mean, i_std, z_samples) = jax.lax.scan(
-            cell, z0_mean, (h_out, feat_cat, t_idx, keys))
+            cell, z0_mean, (h_out, feat_cat, t_idx, keys),
+            unroll=tnn.auto_unroll())
 
         recon, dec_state = self._decode(params["dec"], state["dec"],
                                         z_samples, train)
@@ -276,7 +278,8 @@ class MultiDKS(MultiDGTS):
             z_t = self.sample_gauss(key, prior_mean_t, prior_std_t)
             return z_t, z_t
 
-        _, z_samples = jax.lax.scan(cell, z0_mean, (t_idx, keys))
+        _, z_samples = jax.lax.scan(cell, z0_mean, (t_idx, keys),
+                                    unroll=tnn.auto_unroll())
         recon, _ = self._decode(params["dec"], state["dec"],
                                 z_samples, train=False)
         return recon

@@ -38,16 +38,21 @@ class MultiDMM(MultiDGTS):
     def __init__(self, modalities, dims, dists=None,
                  encoders=None, decoders=None, h_dim=32, z_dim=32,
                  z0_mean=0.0, z0_std=1.0, min_std=1e-3,
-                 use_pallas="auto", scan_unroll=1,
+                 use_pallas="auto", scan_unroll="auto",
                  use_scan_kernel=False, bf16_gtf=False):
         # bf16_gtf: run the GTF transition matmuls in bfloat16 (the
         # particle-heavy smoothing pass is MXU-FLOP-bound; opt-in since
         # it perturbs the recurrence numerics slightly).
         self.bf16_gtf = bf16_gtf
         self.use_pallas = use_pallas
-        # lax.scan unroll factor for the filtering loops: the per-step
-        # compute is small, so unrolling lets XLA fuse/overlap across
-        # timesteps and cuts loop overhead.
+        # lax.scan unroll factor for the filtering loops. The per-step
+        # compute is tiny (a traced train-step spends ~9 of 19 ms in
+        # 6 while-loops of ~47 sub-microsecond ops per iteration, r4
+        # trace), so unrolling lets XLA fuse/overlap across timesteps:
+        # measured 19.2 -> 17.0 ms/step on the Weizmann bench. "auto"
+        # unrolls by 25 on accelerators and keeps the loop on CPU
+        # (where the virtual-mesh test suite prefers small programs);
+        # unroll is a pure lax.scan scheduling hint, numerics-exact.
         self.scan_unroll = scan_unroll
         # Full-scan Pallas kernel (ops/pallas/bfvi_scan): runs the whole
         # filtering loop in one kernel with VMEM-resident state and a
@@ -202,6 +207,17 @@ class MultiDMM(MultiDGTS):
         except Exception:
             return False
 
+    def _resolved_unroll(self):
+        """Resolve scan_unroll="auto": unroll 25 steps on accelerator
+        backends (latency-bound tiny-op loops, see __init__ note), keep
+        the rolled loop on CPU (test-suite compile time)."""
+        if self.scan_unroll != "auto":
+            return self.scan_unroll
+        try:
+            return 1 if jax.default_backend() == "cpu" else 25
+        except Exception:
+            return 1
+
     def _packed_trans(self, params, direction):
         """GTF weights packed (and bf16-cast) ONCE, outside any scan —
         the scan body then runs 3 pre-fused matmuls with no per-step
@@ -326,7 +342,7 @@ class MultiDMM(MultiDGTS):
         z0 = jnp.zeros((k_init, b_dim, self.z_dim))
         _, (p_mean, p_std, i_mean, i_std, samples) = jax.lax.scan(
             cell, z0, (xs_mean, xs_std, xs_mask, is_first, eps),
-            unroll=self.scan_unroll)
+            unroll=self._resolved_unroll())
 
         if direction == "bwd":
             p_mean, p_std = p_mean[::-1], p_std[::-1]
@@ -359,7 +375,8 @@ class MultiDMM(MultiDGTS):
             return nxt, nxt
 
         _, (means, stds) = jax.lax.scan(
-            cell, (init_mean, init_std), eps)
+            cell, (init_mean, init_std), eps,
+            unroll=self._resolved_unroll())
         if inclusive:
             means = jnp.concatenate([init_mean[None], means], axis=0)
             stds = jnp.concatenate([init_std[None], stds], axis=0)

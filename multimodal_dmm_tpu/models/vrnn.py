@@ -166,7 +166,8 @@ class MultiVRNN(MultiDGTS):
         mask_seq = {m: xs_mask[m] for m in mods}
         nan_seq = {m: xs_nan[m] for m in mods}
         _, (p_mean, p_std, i_mean, i_std, rec_seq) = jax.lax.scan(
-            cell, h0, (data_seq, mask_seq, nan_seq, t_idx, keys))
+            cell, h0, (data_seq, mask_seq, nan_seq, t_idx, keys),
+            unroll=tnn.auto_unroll())
 
         recon = {m: rec_seq[i] for i, m in enumerate(mods)}
         return ((i_mean, i_std), (p_mean, p_std), recon), state
@@ -200,7 +201,8 @@ class MultiVRNN(MultiDGTS):
             h_next = tnn.gru_step(params["rnn"], rnn_in, h)
             return h_next, tuple(rec[m] for m in mods)
 
-        _, rec_seq = jax.lax.scan(cell, h0, (t_idx, keys))
+        _, rec_seq = jax.lax.scan(cell, h0, (t_idx, keys),
+                                  unroll=tnn.auto_unroll())
         return {m: rec_seq[i] for i, m in enumerate(mods)}
 
 
