@@ -253,3 +253,48 @@ def test_resume_skips_completed_trials(tmp_path):
     assert len(ckpts) == 3
     assert all(c["status"] == "TERMINATED" for c in ckpts)
     assert [c["last_result"]["mean_loss"] for c in ckpts] == [0.0, 1.0, 2.0]
+
+
+@pytest.mark.slow
+def test_vidtimit_suite_micro(tmp_path):
+    """Micro end-to-end of the (beyond-parity) VidTIMIT task suite:
+    1 method × 1 seed × 1 epoch on the synthetic fixture, then the full
+    analyze() with the 6-task battery incl. the cross-modal a2v/v2a
+    directions."""
+    from multimodal_dmm_tpu.data import vidtimit as vdata
+    from multimodal_dmm_tpu.experiments import vidtimit_suite
+
+    data_dir = str(tmp_path / "data")
+    vdata.gen_synthetic(data_dir, n_subjects=2, n_sentences=3,
+                        t_range=(12, 16))
+
+    cfg = {
+        "data_dir": data_dir,
+        "epochs": 1, "eval_freq": 1, "save_freq": 1, "batch_size": 2,
+        "split": 1, "device": "cpu",
+        "model_args": {"z_dim": 8, "h_dim": 8},
+        "eval_args": {"flt_particles": 3},
+        "seed": tune.grid_search([0]),
+        "method": tune.grid_search(["bfvi"]),
+    }
+    tune.register_trainable(
+        "vidtimit_tune_micro",
+        lambda c, r: vidtimit_suite.VidTIMITTrainer.tune(c, r))
+    tune.run("vidtimit_tune_micro", name="vt_suite_micro", config=cfg,
+             local_dir=str(tmp_path))
+
+    args = vidtimit_suite.parser.parse_args([
+        "--local_dir", str(tmp_path), "--exp_name", "vt_suite_micro",
+        "--analyze",
+    ])
+    vidtimit_suite.analyze(args)
+    exp_dir = tmp_path / "vt_suite_micro"
+    for fn in ("run_results.csv", "task_results.csv",
+               "task_results_std.csv", "task_results_runs.csv"):
+        assert (exp_dir / fn).exists(), fn
+    task_df = pd.read_csv(exp_dir / "task_results.csv")
+    assert set(task_df.columns) >= {"method", "recon", "half", "fwd",
+                                    "bwd", "a2v", "v2a"}
+    assert len(task_df) == 1
+    assert np.isfinite(task_df[["recon", "half", "fwd", "bwd", "a2v",
+                                "v2a"]].values).all()
