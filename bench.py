@@ -45,13 +45,18 @@ def main():
     merge = "--merge" in sys.argv
     bf16_gtf = "--bf16_gtf" in sys.argv
     scan_kernel = "--scan_kernel" in sys.argv
+    if "--rbg" in sys.argv:
+        # Hardware-RNG particle noise (different but equally valid
+        # draws); mirrors the Trainer's --rng_impl rbg.
+        jax.config.update("jax_default_prng_impl", "rbg")
     unroll = "auto"  # model default: full 25-step unroll on TPU
     if "--unroll" in sys.argv:
         unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
     dt = jnp.bfloat16 if bf16 else None
     log("codec compute dtype:", "bf16" if bf16 else "f32",
         "| merge_mode_scans:", merge, "| unroll:", unroll,
-        "| bf16_gtf:", bf16_gtf, "| scan_kernel:", scan_kernel)
+        "| bf16_gtf:", bf16_gtf, "| scan_kernel:", scan_kernel,
+        "| rbg:", "--rbg" in sys.argv)
 
     model = MultiDMM(
         ["video", "person", "action"],

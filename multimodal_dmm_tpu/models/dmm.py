@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import losses
-from ..ops.poe import product_of_experts, mean_of_experts
+from ..ops.poe import (product_of_experts, product_of_experts_pair,
+                       mean_of_experts)
 from . import nn as tnn
 from .base import (MultiDGTS, mlp_gaussian_codec, mlp_categorical_codec,
                    embed_gaussian_codec)
@@ -231,11 +232,11 @@ class MultiDMM(MultiDGTS):
         moment-matched average over particles. ``trans`` is a packed
         transition from ``_packed_trans``."""
         q_mean, q_std = tnn.gtf_apply_packed(trans, z, self.min_std)
-        glb_mean_b = jnp.broadcast_to(glb_mean, q_mean.shape)
-        glb_std_b = jnp.broadcast_to(glb_std, q_std.shape)
-        pp_mean, pp_std = product_of_experts(
-            jnp.stack([glb_mean_b, q_mean]),
-            jnp.stack([glb_std_b, q_std]))
+        # Pair-specialized PoE: the global prior broadcasts lazily
+        # instead of being materialized K·V·B-fold on a stacked expert
+        # axis (bit-identical result, ops/poe.py).
+        pp_mean, pp_std = product_of_experts_pair(
+            glb_mean, glb_std, q_mean, q_std)
         return mean_of_experts(pp_mean, pp_std)
 
     def _filter_eps(self, rng, t_max, n_particles, b_dim, do_sample,
@@ -809,11 +810,10 @@ class MultiDMM(MultiDGTS):
                 obs = ~jnp.isnan(x)
                 xs = jnp.where(obs, x, 0.0)[:, None]
                 cm = obs.astype(jnp.float32)[:, None] * lm_a
-                log_t = jnp.maximum(-jax.nn.softplus(-lg), -100.0)
-                log_1mt = jnp.maximum(-jax.nn.softplus(lg), -100.0)
-                nll = -(xs * log_t + (1.0 - xs) * log_1mt)
-                nll = jnp.where(cm > 0, nll, 0.0)
-                loss += mult * jnp.sum(nll * cm)
+                # custom-VJP fused BCE: residuals are the inputs, the
+                # backward is one closed-form σ(l)−x pass (see
+                # ops/losses.bce_logits_masked_sum).
+                loss += mult * losses.bce_logits_masked_sum(lg, xs, cm)
                 continue
             xa = x[:, None]  # (T, 1, B, ...) broadcasts over A
             if self.dists[m] == "Bernoulli":

@@ -1,6 +1,7 @@
 """Pure-math core ops: Gaussian expert fusion, masked losses, schedules."""
 
-from .poe import product_of_experts, mean_of_experts
+from .poe import (product_of_experts, product_of_experts_pair,
+                  mean_of_experts)
 from .losses import (kld_gauss, nll_bernoulli, nll_bernoulli_logits,
-                     nll_categorical, nll_gauss)
+                     bce_logits_masked_sum, nll_categorical, nll_gauss)
 from .schedules import anneal

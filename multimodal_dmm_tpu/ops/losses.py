@@ -110,6 +110,55 @@ def nll_bernoulli_logits(logits, x, mask=None):
     return jnp.sum(nll * m)
 
 
+@jax.custom_vjp
+def bce_logits_masked_sum(lg, xs, cm):
+    """Masked-sum Bernoulli NLL from logits with a hand-written VJP.
+
+    Value and gradient match ``nll_bernoulli_logits`` (same −100 clamp
+    semantics; the clamp binds exactly at |logit| ≥ 100 in f32, since
+    softplus(±100) rounds to the linear branch). The custom VJP exists
+    purely for memory traffic: JAX AD of the softplus chain saves
+    image-sized intermediates for the backward pass, while here the
+    residuals are the *inputs themselves* and the backward is the
+    closed-form ``σ(l) − x`` (with clamp gating), recomputed in one
+    fused elementwise pass. On (T·V·B)-stacked video reconstructions
+    this removes several 30–60 MB HBM round-trips per step.
+
+    lg : (T, A, B, ...) pre-sigmoid activations
+    xs : (T, 1, B, ...) NaN-cleaned targets in [0, 1] (broadcasts over A)
+    cm : (T, 1, B, ...) combined float mask (0/1), broadcasts over A
+    """
+    nll = -(xs * jnp.maximum(-jax.nn.softplus(-lg), -100.0)
+            + (1.0 - xs) * jnp.maximum(-jax.nn.softplus(lg), -100.0))
+    nll = jnp.where(cm > 0, nll, 0.0)
+    return jnp.sum(nll * cm)
+
+
+def _bce_logits_fwd(lg, xs, cm):
+    return bce_logits_masked_sum(lg, xs, cm), (lg, xs, cm)
+
+
+def _bce_logits_bwd(res, ct):
+    lg, xs, cm = res
+    sig = jax.nn.sigmoid(lg)
+    # d nll / d lg, with the −100 clamp zeroing each term's gradient
+    # exactly where the forward clamp binds (softplus(l) ≥ 100 ⇔ l ≥ 100
+    # in f32 — softplus is exactly linear there).
+    dnll = ((1.0 - xs) * sig * (lg < 100.0)
+            - xs * (1.0 - sig) * (lg > -100.0))
+    # Gate through the mask with `where`, not a bare multiply: masked
+    # positions may hold non-finite activations and IEEE 0·NaN = NaN.
+    dnll = jnp.where(cm > 0, dnll, 0.0)
+    dlg = (ct * cm * dnll).astype(lg.dtype)
+    # Targets and masks are data, not parameters: their cotangents are
+    # never consumed (jax.grad runs w.r.t. params only) and XLA DCEs
+    # these zeros.
+    return dlg, jnp.zeros_like(xs), jnp.zeros_like(cm)
+
+
+bce_logits_masked_sum.defvjp(_bce_logits_fwd, _bce_logits_bwd)
+
+
 def nll_categorical(probs, x, mask=None):
     """Categorical 'NLL' (reference quirk: ``-p[target]``, see module doc).
 

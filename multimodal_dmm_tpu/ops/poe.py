@@ -77,6 +77,35 @@ def product_of_experts(mean, std, mask=None, eps=1e-8):
     return product_mean, product_std
 
 
+def product_of_experts_pair(mean_1, std_1, mean_2, std_2, eps=1e-8):
+    """Two-expert ``product_of_experts`` without the expert-axis stack.
+
+    Bit-identical to ``product_of_experts(stack([m1, m2]),
+    stack([s1, s2]))`` with ``mask=None`` (a 2-element axis-0 sum is the
+    same single f32 add), but the experts are never materialized on a
+    stacked axis — in the particle transition (models/dmm.py
+    ``_trans_prior``) expert 1 is a broadcast global prior, and stacking
+    it K·V·B-fold before the elementwise PoE math was pure HBM traffic
+    inside the hottest unrolled scan.
+    """
+    var_1 = std_1 * std_1 + eps
+    var_2 = std_2 * std_2 + eps
+    prec_1 = jnp.sign(std_1) / var_1
+    prec_2 = jnp.sign(std_2) / var_2
+    ok_1 = ~jnp.isnan(var_1).any(axis=-1, keepdims=True)
+    ok_2 = ~jnp.isnan(var_2).any(axis=-1, keepdims=True)
+    prec_1 = jnp.where(ok_1, prec_1, 0.0)
+    prec_2 = jnp.where(ok_2, prec_2, 0.0)
+    num = (jnp.where(ok_1, mean_1, 0.0) * prec_1
+           + jnp.where(ok_2, mean_2, 0.0) * prec_2)
+    denom = prec_1 + prec_2
+    low = denom < PREC_FLOOR
+    safe = jnp.where(low, jnp.ones_like(denom), denom)
+    product_mean = jnp.where(low, jnp.zeros_like(num), num / safe)
+    product_std = jnp.where(low, PREC_FLOOR ** -0.5, safe ** -0.5)
+    return product_mean, product_std
+
+
 def mean_of_experts(mean, std, mask=None):
     """Moment-matched mixture of Gaussian experts along axis 0.
 

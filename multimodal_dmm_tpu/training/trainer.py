@@ -144,6 +144,13 @@ def _build_parser():
     parser.add_argument('--eval_sets', type=str, nargs='+', metavar='S',
                         default=['train', 'test'])
     parser.add_argument('--find_best', action='store_true', default=False)
+    parser.add_argument('--rng_impl', type=str, default='threefry2x32',
+                        choices=['threefry2x32', 'rbg', 'unsafe_rbg'],
+                        help='jax PRNG implementation for model sampling '
+                             '(rbg uses the TPU hardware RNG path: much '
+                             'cheaper per-step bit generation, different '
+                             'but equally valid draws; seeds reproduce '
+                             'only within one impl)')
     return parser
 
 
@@ -176,6 +183,12 @@ class Trainer:
         # Seeding (trainer.py:156-159): numpy drives data corruption,
         # a jax key drives model sampling.
         np.random.seed(args.seed)
+        if getattr(args, 'rng_impl', 'threefry2x32') != 'threefry2x32':
+            # Must precede PRNGKey creation: the impl is baked into the
+            # key. rbg replaces threefry's ~20 u32 ops/word software
+            # stream with the hardware RNG — the particle-noise streams
+            # are a measurable slice of the train step.
+            jax.config.update("jax_default_prng_impl", args.rng_impl)
         self.rng = jax.random.PRNGKey(args.seed)
 
         if args.anomaly_check:

@@ -204,3 +204,61 @@ def test_losses_immune_to_poison_at_masked_positions():
     got_c = float(nll_categorical(jnp.array(probs), jnp.array(labels),
                                   jnp.array(mask)))
     assert np.isfinite(got_c)
+
+
+def test_bce_logits_masked_sum_matches_inline_composition():
+    """Value AND gradient of the custom-VJP fused BCE equal the plain
+    jnp composition it replaced (models/dmm.py fused objective), on the
+    stacked-variant shapes: lg (T,A,B,D), xs/cm (T,1,B,D)."""
+    import jax
+    from multimodal_dmm_tpu.ops.losses import bce_logits_masked_sum
+
+    rng = np.random.RandomState(3)
+    T, A, B, D = 5, 2, 3, 7
+    lg = rng.randn(T, A, B, D).astype(np.float32) * 4
+    lg[0, 0, 0, 0] = 150.0   # clamp binds (softplus ≥ 100)
+    lg[0, 0, 0, 1] = -150.0
+    x = rng.rand(T, B, D).astype(np.float32)
+    x[rng.rand(T, B, D) < 0.2] = np.nan
+    lmask = (rng.rand(T, 1, B, 1) > 0.2).astype(np.float32)
+
+    obs = ~np.isnan(x)
+    xs = jnp.asarray(np.where(obs, x, 0.0)[:, None])
+    cm = jnp.asarray(obs.astype(np.float32)[:, None] * lmask)
+
+    def inline(lg):
+        log_t = jnp.maximum(-jax.nn.softplus(-lg), -100.0)
+        log_1mt = jnp.maximum(-jax.nn.softplus(lg), -100.0)
+        nll = -(xs * log_t + (1.0 - xs) * log_1mt)
+        return jnp.sum(jnp.where(cm > 0, nll, 0.0) * cm)
+
+    lg_j = jnp.asarray(lg)
+    v_new, g_new = jax.value_and_grad(
+        lambda l: bce_logits_masked_sum(l, xs, cm))(lg_j)
+    v_old, g_old = jax.value_and_grad(inline)(lg_j)
+    assert abs(float(v_new) - float(v_old)) <= 1e-4 * abs(float(v_old))
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bce_logits_masked_sum_poison_safe_gradients():
+    """Non-finite activations at masked positions must not leak NaN into
+    the value or the gradient (IEEE 0·NaN traps)."""
+    import jax
+    from multimodal_dmm_tpu.ops.losses import bce_logits_masked_sum
+
+    T, A, B, D = 3, 2, 2, 4
+    lg = np.zeros((T, A, B, D), np.float32)
+    lg[1] = np.nan
+    lg[2] = np.inf
+    xs = jnp.asarray(np.full((T, 1, B, D), 0.7, np.float32))
+    cm = np.ones((T, 1, B, D), np.float32)
+    cm[1] = 0.0
+    cm[2] = 0.0
+    cm = jnp.asarray(cm)
+
+    v, g = jax.value_and_grad(
+        lambda l: bce_logits_masked_sum(l, xs, cm))(jnp.asarray(lg))
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.all(np.asarray(g)[1:] == 0.0)

@@ -167,3 +167,44 @@ def test_poe_grad_safe_when_masked():
 
     g = jax.grad(f)(jnp.ones((2, 3, 4)))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_pair_specialization_matches_stacked():
+    """product_of_experts_pair == product_of_experts(stack) bit-exactly,
+    including inverse (negative-std) experts, NaN'd experts, broadcast
+    expert-1 (the _trans_prior global prior), and the precision floor."""
+    from multimodal_dmm_tpu.ops import product_of_experts_pair
+
+    rng = np.random.RandomState(7)
+    K, VB, D = 4, 6, 5
+    m2 = rng.randn(K, VB, D).astype(np.float32)
+    s2 = (rng.rand(K, VB, D) + 0.1).astype(np.float32)
+    s2[1, 2] *= -1.0                 # inverse expert rows
+    m2[2, 3] = np.nan                # NaN'd expert → excluded
+    s2[2, 3] = np.nan
+
+    # broadcast global-prior expert (1, 1, D), like _trans_prior
+    m1 = rng.randn(1, 1, D).astype(np.float32)
+    s1 = (rng.rand(1, 1, D) + 0.5).astype(np.float32)
+
+    m1b = np.broadcast_to(m1, m2.shape)
+    s1b = np.broadcast_to(s1, s2.shape)
+    want_m, want_s = product_of_experts(
+        jnp.stack([jnp.asarray(m1b), jnp.asarray(m2)]),
+        jnp.stack([jnp.asarray(s1b), jnp.asarray(s2)]))
+    got_m, got_s = product_of_experts_pair(
+        jnp.asarray(m1), jnp.asarray(s1),
+        jnp.asarray(m2), jnp.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(want_m), np.asarray(got_m))
+    np.testing.assert_array_equal(np.asarray(want_s), np.asarray(got_s))
+
+    # Near-cancelling pair to hit the precision floor branch.
+    mf = np.zeros((1, 1, D), np.float32) + 0.3
+    sf = np.ones((1, 1, D), np.float32)
+    want = product_of_experts(
+        jnp.stack([jnp.asarray(mf), jnp.asarray(-mf)]),
+        jnp.stack([jnp.asarray(sf), jnp.asarray(-sf)]))
+    got = product_of_experts_pair(jnp.asarray(mf), jnp.asarray(sf),
+                                  jnp.asarray(-mf), jnp.asarray(-sf))
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
