@@ -212,9 +212,20 @@ def bfvi_scan_pallas(obs_mean, obs_std, obs_mask, glb_mean, glb_std,
     h = gtf["gate_1"]["w"].shape[1]
 
     if tile_b is None:
-        # (K, TB, D) state + (T, K, TB, D) eps/z_traj dominate VMEM.
-        budget = 9 * 1024 * 1024
-        per_b = (2 * t_max * k * d + 4 * k * d) * 4
+        # Budget EVERY per-batch-row block the kernel touches, not just
+        # the eps/z_traj pair: the (T, M, TB, D) expert inputs and the
+        # six (T, TB, D)-shaped outputs are the same order of magnitude,
+        # and under jvp the outputs are additionally stack-allocated in
+        # scoped VMEM (the round-3 sizer ignored them and OOM'd at the
+        # bench shapes: 91.5 MB requested vs the 64 MB cap). Count f32
+        # words per batch row, double for Pallas double-buffering.
+        budget = 20 * 1024 * 1024
+        per_b = (2 * t_max * n_exp * d      # obs mean/std blocks
+                 + t_max * n_exp            # mask block
+                 + 2 * t_max * k * d        # eps in + z_traj out
+                 + 5 * t_max * d            # the five (T, TB, D) outs
+                 + 2 * d                    # global prior rows
+                 + 3 * k * d) * 4 * 2       # state scratch; x2 dbl-buf
         tile_b = max(8, min(b_dim, budget // max(per_b, 1)))
         tile_b = max(8, (tile_b // 8) * 8)
     pad = (-b_dim) % tile_b
