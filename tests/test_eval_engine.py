@@ -221,17 +221,19 @@ def test_evaluate_gate_routes_to_device_engine(spirals_trainer):
 def test_device_eval_matches_host_under_mesh(tmp_path_factory,
                                              mesh_spec):
     """--mesh 2 shards the eval batch (6 % 2 == 0), --mesh 8 exercises
-    the replicated fallback (6 % 8 != 0), --mesh 2x2 adds the 2-D
-    variant mesh. All must match the host evaluate exactly on a
-    deterministic task."""
+    the replicated fallback (the 6-sequence test set is one eval batch
+    and 6 % 8 != 0; train batch_size is 8 to satisfy the trainer's
+    divisibility contract), --mesh 2x2 adds the 2-D variant mesh. All
+    must match the host evaluate exactly on a deterministic task."""
     from multimodal_dmm_tpu.apps.spirals import SpiralsTrainer
     from multimodal_dmm_tpu.data.spirals import gen_dataset
     data_dir = tmp_path_factory.mktemp("spirals_mesh_data")
     save_dir = tmp_path_factory.mktemp("spirals_mesh_save")
     gen_dataset(n_examples=16, n_train=10, timesteps=18,
                 data_dir=str(data_dir))
+    batch = "8" if mesh_spec == "8" else "6"
     argv = ["--data_dir", str(data_dir), "--save_dir", str(save_dir),
-            "--epochs", "1", "--batch_size", "6", "--device", "cpu",
+            "--epochs", "1", "--batch_size", batch, "--device", "cpu",
             "--seed", "1", "--mesh", mesh_spec]
     args = SpiralsTrainer.parser.parse_args(argv)
     trainer = SpiralsTrainer(args)
