@@ -273,9 +273,25 @@ def conv2d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     return out.astype(jnp.float32) + p["b"]
 
 
+def deconv2d_flip_to_v2(w_hwoi):
+    """Convert a (k, k, out, in) HWOI deconv kernel (storage format 1) to
+    the format-2 physical layout: the spatially-flipped HWIO kernel of the
+    equivalent input-dilated forward convolution. Pure element permutation
+    — the conv consumes bit-identical tap values either way."""
+    return jnp.transpose(w_hwoi[::-1, ::-1, :, :], (0, 1, 3, 2))
+
+
 def deconv2d_init(key, c_in, c_out, ksize=4, xavier=True):
     """torch nn.ConvTranspose2d weight is (in, out, kh, kw); xavier bounds
-    use fan_in = in*k*k as torch computes them on that layout."""
+    use fan_in = in*k*k as torch computes them on that layout.
+
+    The kernel is drawn in HWOI (preserving the historical RNG element
+    order) but STORED pre-flipped as the HWIO kernel of the equivalent
+    dilated forward conv, so ``deconv2d_apply`` needs no per-step
+    flip/transpose. With the flip in the graph, XLA folds the kernel
+    reverse into a reverse of the *activations* in the weight-grad pass
+    (~1.3 ms/step of big-tensor `reverse` + forced copies in the r4
+    trace); pre-flipped storage removes every such node."""
     kw_, kb = jax.random.split(key)
     fan_in = c_in * ksize * ksize
     fan_out = c_out * ksize * ksize
@@ -283,9 +299,9 @@ def deconv2d_init(key, c_in, c_out, ksize=4, xavier=True):
         bound = math.sqrt(6.0 / (fan_in + fan_out))
     else:
         bound = 1.0 / math.sqrt(c_out * ksize * ksize)
-    w = _uniform(kw_, (ksize, ksize, c_out, c_in), bound)  # HWOI
+    w = _uniform(kw_, (ksize, ksize, c_out, c_in), bound)  # drawn HWOI
     b = _uniform(kb, (c_out,), 1.0 / math.sqrt(c_out * ksize * ksize))
-    return {"w": w, "b": b}
+    return {"w": deconv2d_flip_to_v2(w), "b": b}
 
 
 def deconv2d_apply(p, x, stride=2, padding=1, compute_dtype=None):
@@ -295,9 +311,8 @@ def deconv2d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     """
     ksize = p["w"].shape[0]
     pad = ksize - 1 - padding
-    # Kernel stored HWOI: flip spatial taps and swap in/out to get the
-    # HWIO kernel of the equivalent (input-dilated) forward convolution.
-    w = jnp.transpose(p["w"][::-1, ::-1, :, :], (0, 1, 3, 2))
+    # Kernel stored pre-flipped HWIO (see deconv2d_init): use directly.
+    w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
@@ -333,22 +348,29 @@ def conv1d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     return out.astype(jnp.float32) + p["b"]
 
 
+def deconv1d_flip_to_v2(w_woi):
+    """(k, out, in) WOI format-1 kernel → flipped WIO (format 2)."""
+    return jnp.transpose(w_woi[::-1, :, :], (0, 2, 1))
+
+
 def deconv1d_init(key, c_in, c_out, ksize=3, xavier=True):
+    """Drawn WOI (historical RNG order), stored pre-flipped WIO — see
+    deconv2d_init for why."""
     kw_, kb = jax.random.split(key)
     fan_in = c_in * ksize
     fan_out = c_out * ksize
     bound = math.sqrt(6.0 / (fan_in + fan_out)) if xavier \
         else 1.0 / math.sqrt(c_out * ksize)
-    w = _uniform(kw_, (ksize, c_out, c_in), bound)  # WOI
+    w = _uniform(kw_, (ksize, c_out, c_in), bound)  # drawn WOI
     b = _uniform(kb, (c_out,), 1.0 / math.sqrt(c_out * ksize))
-    return {"w": w, "b": b}
+    return {"w": deconv1d_flip_to_v2(w), "b": b}
 
 
 def deconv1d_apply(p, x, stride=2, padding=1, compute_dtype=None):
     """torch ConvTranspose1d: out = (in-1)*stride - 2*padding + ksize."""
     ksize = p["w"].shape[0]
     pad = ksize - 1 - padding
-    w = jnp.transpose(p["w"][::-1, :, :], (0, 2, 1))  # WOI → WIO, flipped
+    w = p["w"]  # stored pre-flipped WIO (see deconv1d_init)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)

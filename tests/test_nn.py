@@ -72,8 +72,8 @@ def test_conv2d_matches_torch():
 def test_deconv2d_matches_torch():
     torch.manual_seed(3)
     deconv = nn.ConvTranspose2d(8, 4, 4, stride=2, padding=1)
-    # torch IOHW → our HWOI
-    w = deconv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    # torch IOHW → our pre-flipped HWIO (format 2): spatial-flip + (h,w,i,o)
+    w = deconv.weight.detach().numpy().transpose(2, 3, 0, 1)[::-1, ::-1]
     p = {"w": jnp.array(w), "b": jnp.array(deconv.bias.detach().numpy())}
     x = np.random.RandomState(4).randn(2, 8, 8, 8).astype(np.float32)
     got = tnn.deconv2d_apply(p, jnp.array(x.transpose(0, 2, 3, 1)),
@@ -86,7 +86,8 @@ def test_deconv2d_matches_torch():
 def test_deconv1d_matches_torch():
     torch.manual_seed(4)
     deconv = nn.ConvTranspose1d(6, 4, 3, stride=2, padding=1)
-    w = deconv.weight.detach().numpy().transpose(2, 1, 0)  # I O W → W O I
+    # torch IOW → our pre-flipped WIO (format 2)
+    w = deconv.weight.detach().numpy().transpose(2, 0, 1)[::-1]
     p = {"w": jnp.array(w), "b": jnp.array(deconv.bias.detach().numpy())}
     x = np.random.RandomState(5).randn(2, 6, 11).astype(np.float32)
     got = tnn.deconv1d_apply(p, jnp.array(x.transpose(0, 2, 1)),

@@ -159,3 +159,64 @@ def test_train_step_cache_key_order_insensitive(tiny_env, tmp_path):
     args.rec_mults = {"spiral-y": 2.0, "spiral-x": 1.0}
     step2 = trainer._get_train_step(args)
     assert step1 is step2
+
+
+def test_checkpoint_v1_deconv_conversion(tmp_path):
+    """A format-1 checkpoint (HWOI/WOI deconv kernels, no "format" key)
+    loads as format 2 with every deconv kernel re-permuted — params and
+    the Adam moments that mirror them — and the converted model produces
+    the same decoder output as the original graph-side-flip math."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodal_dmm_tpu.models import codecs
+    from multimodal_dmm_tpu.training.checkpoint import load_checkpoint
+
+    key = jax.random.PRNGKey(7)
+    params, state, meta = codecs.image_decoder_init(
+        key, z_dim=5, img_size=16, n_channels=3, n_kernels=8, n_layers=2)
+    z = jax.random.normal(jax.random.PRNGKey(8), (4, 5))
+    want, _ = codecs.image_decoder_apply(params, state, meta, z, train=False)
+
+    # Forge the v1 payload: invert the storage permutation (flip+transpose
+    # is an involution up to the axis swap) and drop the format key.
+    def unflip(w):
+        w = np.asarray(w)
+        if w.ndim == 4:
+            return np.transpose(w, (0, 1, 3, 2))[::-1, ::-1].copy()
+        return w
+    def to_v1(p):
+        out = dict(p)
+        out["deconvs"] = [{"w": unflip(l["w"]), "b": np.asarray(l["b"])}
+                          for l in p["deconvs"]]
+        return out
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    v1_opt_state = jax.tree_util.tree_map(np.asarray, opt_state)
+    # Adam mu mirrors params: forge its deconv leaves to v1 layout too.
+    v1_opt_state = (v1_opt_state[0]._replace(
+        mu=to_v1(jax.tree_util.tree_map(np.asarray, opt_state[0].mu)),
+        nu=to_v1(jax.tree_util.tree_map(np.asarray, opt_state[0].nu))),
+        v1_opt_state[1])
+    payload = {"modalities": ["video"],
+               "params": to_v1(jax.tree_util.tree_map(np.asarray, params)),
+               "opt_state": v1_opt_state}
+    path = os.path.join(str(tmp_path), "best.pth")
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+    loaded = load_checkpoint(path)
+    assert loaded["format"] == 2
+    for l_new, l_old in zip(loaded["params"]["deconvs"], params["deconvs"]):
+        np.testing.assert_array_equal(l_new["w"], np.asarray(l_old["w"]))
+    for l_new, l_old in zip(loaded["opt_state"][0].mu["deconvs"],
+                            params["deconvs"]):
+        assert l_new["w"].shape == l_old["w"].shape
+    got, _ = codecs.image_decoder_apply(
+        jax.tree_util.tree_map(jnp.asarray, loaded["params"]),
+        state, meta, z, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
