@@ -45,6 +45,10 @@ def main():
     merge = "--merge" in sys.argv
     bf16_gtf = "--bf16_gtf" in sys.argv
     scan_kernel = "--scan_kernel" in sys.argv
+    # Codec-native batch layout (the trainer's device-loader default):
+    # video stored (T, B, H, W, C), zero edge transposes in the step.
+    # --edge opts back into channel-first batches.
+    native = "--edge" not in sys.argv
     if "--rbg" in sys.argv:
         # Hardware-RNG particle noise (different but equally valid
         # draws); mirrors the Trainer's --rng_impl rbg.
@@ -56,7 +60,8 @@ def main():
     log("codec compute dtype:", "bf16" if bf16 else "f32",
         "| merge_mode_scans:", merge, "| unroll:", unroll,
         "| bf16_gtf:", bf16_gtf, "| scan_kernel:", scan_kernel,
-        "| rbg:", "--rbg" in sys.argv)
+        "| rbg:", "--rbg" in sys.argv,
+        "| layout:", "native" if native else "edge")
 
     model = MultiDMM(
         ["video", "person", "action"],
@@ -77,6 +82,9 @@ def main():
     rng = np.random.RandomState(0)
     video = rng.rand(T, B, 3, 64, 64).astype(np.float32)
     video[rng.rand(T, B) < 0.1] = np.nan
+    if native:
+        video = np.ascontiguousarray(video.transpose(0, 1, 3, 4, 2))
+    native_mods = ("video",) if native else ()
     inputs = {
         "video": jnp.asarray(video),
         "person": jnp.asarray(
@@ -90,7 +98,8 @@ def main():
         def loss_fn(p):
             loss, new_state = model.step(
                 p, state, inputs, mask, kld_mult, rec_mults, key,
-                targets=inputs, train=True, merge_mode_scans=merge)
+                targets=inputs, train=True, merge_mode_scans=merge,
+                native_mods=native_mods)
             return loss / (T * B), (loss, new_state)
 
         grads, (loss, new_state) = jax.grad(loss_fn, has_aux=True)(params)

@@ -177,10 +177,12 @@ class MultiDGTS:
         d = self.dims[m]
         return int(np.prod(d)) if isinstance(d, (tuple, list)) else int(d)
 
-    def _nan_fill_missing(self, inputs, t_max, b_dim):
+    def _nan_fill_missing(self, inputs, t_max, b_dim, native_mods=()):
         """Return a dict covering all modalities; absent ones become NaN
         arrays (→ observation masks of zero, excluded from PoE), keeping
-        shapes static across modality-subset forwards."""
+        shapes static across modality-subset forwards. Modalities in
+        ``native_mods`` fill in the encoder-native trailing-dim layout
+        (enc.raw_perm of the edge dims)."""
         full = {}
         for m in self.modalities:
             if m in inputs:
@@ -192,7 +194,19 @@ class MultiDGTS:
                     shape = (t_max, b_dim, 1)
                 else:
                     d = self.dims[m]
-                    shape = (t_max, b_dim) + (tuple(d) if isinstance(
-                        d, (tuple, list)) else (int(d),))
+                    dims = (tuple(d) if isinstance(d, (tuple, list))
+                            else (int(d),))
+                    if m in native_mods:
+                        perm = getattr(self.enc[m], "raw_perm", None)
+                        if perm is not None:
+                            dims = tuple(dims[p] for p in perm)
+                    shape = (t_max, b_dim) + dims
                 full[m] = jnp.full(shape, jnp.nan, dtype=jnp.float32)
         return full
+
+    def native_input_perms(self):
+        """Trailing-dim permutations for modalities whose training-step
+        inputs/targets may be stored in the codec-native layout (the
+        device loader applies them once at upload; the fused step then
+        runs with zero edge transposes). Base models don't support it."""
+        return {}

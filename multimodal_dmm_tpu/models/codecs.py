@@ -50,9 +50,16 @@ def image_encoder_init(key, z_dim, gauss_out=True, img_size=64,
 
 
 def image_encoder_apply(params, state, meta, x, train):
-    """x: (N, C, H, W) → (mean, std) or raw feats (N, feat_dim)."""
+    """x: (N, C, H, W) → (mean, std) or raw feats (N, feat_dim).
+
+    ``meta["native_in"]`` means x is ALREADY channels-last (N, H, W, C)
+    — the device loader stores training batches in the conv-native
+    layout so the per-step edge transpose (an HBM round-trip of the
+    full video tensor) disappears from the train step.
+    """
     dt = meta.get("dt")
-    h = jnp.transpose(x, (0, 2, 3, 1))  # NCHW → NHWC
+    h = x if meta.get("native_in") \
+        else jnp.transpose(x, (0, 2, 3, 1))  # NCHW → NHWC
     new_bns = []
     n_layers = meta["n_layers"]
     for l in range(n_layers):
@@ -160,8 +167,10 @@ def audio_encoder_init(key, z_dim, gauss_out=True, n_freqs=1281,
 
 
 def audio_encoder_apply(params, state, meta, x, train):
-    """x: (N, 2·n_frames, n_freqs) → (mean, std) or feats."""
-    h = jnp.transpose(x, (0, 2, 1))  # NCW → NWC
+    """x: (N, 2·n_frames, n_freqs) → (mean, std) or feats.
+    ``meta["native_in"]``: x already (N, n_freqs, 2·n_frames)."""
+    h = x if meta.get("native_in") \
+        else jnp.transpose(x, (0, 2, 1))  # NCW → NWC
     dt = meta.get("dt")
     new_bns = []
     n_layers = meta["n_layers"]
@@ -254,8 +263,19 @@ def image_encoder_codec(z_dim, gauss_out=True, img_size=64, n_channels=3,
                 "n_layers": n_layers, "dt": compute_dtype}
         return image_encoder_apply(params, state, meta, x, train)
 
+    def apply_native(params, state, x, train):
+        """x already channels-last (N, H, W, C) — no edge transpose
+        (see image_encoder_apply native_in)."""
+        meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
+                "n_layers": n_layers, "dt": compute_dtype,
+                "native_in": True}
+        return image_encoder_apply(params, state, meta, x, train)
+
     codec = Codec(init, apply)
     codec.feat_dim = feat_dim
+    codec.apply_native = apply_native
+    # Edge layout (C, H, W) → native (H, W, C) on the trailing dims.
+    codec.raw_perm = (1, 2, 0)
     return codec
 
 
@@ -306,8 +326,18 @@ def audio_encoder_codec(z_dim, gauss_out=True, n_freqs=1281, n_frames=5,
                 "n_layers": n_layers, "dt": compute_dtype}
         return audio_encoder_apply(params, state, meta, x, train)
 
+    def apply_native(params, state, x, train):
+        """x already (N, n_freqs, 2·n_frames) — no edge transpose."""
+        meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
+                "n_layers": n_layers, "dt": compute_dtype,
+                "native_in": True}
+        return audio_encoder_apply(params, state, meta, x, train)
+
     codec = Codec(init, apply)
     codec.feat_dim = feat_dim
+    codec.apply_native = apply_native
+    # Edge layout (C, W) → native (W, C) on the trailing dims.
+    codec.raw_perm = (1, 0)
     return codec
 
 

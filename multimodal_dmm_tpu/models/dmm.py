@@ -140,11 +140,15 @@ class MultiDMM(MultiDGTS):
 
     # -- encode / decode ------------------------------------------------------
 
-    def encode(self, params, state, inputs, train=False, combine=False):
+    def encode(self, params, state, inputs, train=False, combine=False,
+               native=()):
         """Per-modality q'(z|x_m) params + NaN-derived masks
         (dmm.py:131-190). inputs must contain every modality (NaN-fill
         absent ones first). Returns ((M,T,B,z) mean/std, (M,T,B) mask),
-        new encoder state."""
+        new encoder state. Modalities in ``native`` arrive in the
+        codec-native trailing-dim layout and encode via
+        ``enc.apply_native`` (no edge transpose); NaN-mask derivation is
+        elementwise, hence layout-agnostic."""
         t_max, b_dim = inputs[self.modalities[0]].shape[:2]
         z_mean, z_std, masks = [], [], []
         new_state = dict(state)
@@ -154,7 +158,9 @@ class MultiDMM(MultiDGTS):
             mask_m = ~jnp.isnan(flat).any(axis=-1)
             x_f = jnp.where(jnp.isnan(x), 0.0, x)
             x_flat = x_f.reshape((t_max * b_dim,) + x.shape[2:])
-            (m_mean, m_std), new_state[m] = self.enc[m].apply(
+            enc_apply = (self.enc[m].apply_native if m in native
+                         else self.enc[m].apply)
+            (m_mean, m_std), new_state[m] = enc_apply(
                 params["enc"][m], state[m], x_flat, train)
             z_mean.append(m_mean.reshape(t_max, b_dim, -1))
             z_std.append(m_std.reshape(t_max, b_dim, -1))
@@ -182,6 +188,22 @@ class MultiDMM(MultiDGTS):
             recon[m] = tuple(
                 r.reshape((t_max, b_dim) + r.shape[1:]) for r in out)
         return recon, new_state
+
+    def native_input_perms(self):
+        """Trailing-dim permutations (edge → codec-native) for the
+        modalities the fused training step can consume natively: the
+        encoder exposes ``apply_native`` and the Bernoulli loss runs
+        through the decoder's logits channel, so neither the input nor
+        the target ever needs an edge-layout copy inside the step."""
+        out = {}
+        for m in self.modalities:
+            enc, dec = self.enc[m], self.dec[m]
+            perm = getattr(enc, "raw_perm", None)
+            if (self.dists[m] == "Bernoulli" and perm is not None
+                    and hasattr(enc, "apply_native")
+                    and hasattr(dec, "apply_logits")):
+                out[m] = tuple(perm)
+        return out
 
     # -- latent dynamics ------------------------------------------------------
 
@@ -492,6 +514,10 @@ class MultiDMM(MultiDGTS):
         # 51 vs 31 ms device time), so it stays opt-in via
         # --train_args '{merge_mode_scans: true}' / bench --merge.
         merge_mode_scans = kwargs.pop("merge_mode_scans", False)
+        # Modalities whose inputs AND targets arrive in the codec-native
+        # trailing-dim layout (device loader stores them permuted once;
+        # the step then runs with zero edge-layout copies). Static.
+        native_mods = tuple(kwargs.pop("native_mods", ()))
 
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         loss = 0.0
@@ -503,6 +529,10 @@ class MultiDMM(MultiDGTS):
                      self.kld_prior(params, k2, match_particles, "bwd"))
 
         if not fused:
+            if native_mods:
+                raise ValueError(
+                    "native_mods requires the fused step (the unfused "
+                    "reference composition consumes edge layout)")
             f_loss, state = MultiDGTS.step(
                 self, params, state, inputs, mask, kld_mult, rec_mults,
                 k3, targets=targets, uni_loss=uni_loss, train=train,
@@ -523,10 +553,12 @@ class MultiDMM(MultiDGTS):
             targets = inputs
         some = inputs[list(inputs.keys())[0]]
         t_max, b_dim = some.shape[:2]
-        full_inputs = self._nan_fill_missing(inputs, t_max, b_dim)
+        full_inputs = self._nan_fill_missing(inputs, t_max, b_dim,
+                                             native_mods=native_mods)
         # Encode ONCE; the 2 modes × (1+n_mods) variants reuse it.
         (obs_mean, obs_std, obs_mask), enc_state = self.encode(
-            params, state["enc"], full_inputs, train)
+            params, state["enc"], full_inputs, train,
+            native=native_mods)
         # Variant expert-presence patterns (V, M): joint row of ones
         # (only when >1 modality, dgts.py:119) + one-hot rows for the
         # modalities actually present in the inputs (dgts.py:126).
@@ -557,7 +589,7 @@ class MultiDMM(MultiDGTS):
                 f_mode=f_mode, s_mode=s_mode,
                 flt_particles=flt_particles,
                 train_particles=train_particles, sample=sample,
-                train=train, **kwargs)
+                train=train, native_mods=native_mods, **kwargs)
             loss += f_mult * f_loss + s_mult * s_loss
             return loss, {"enc": enc_state, "dec": dec_state}
 
@@ -567,7 +599,8 @@ class MultiDMM(MultiDGTS):
             mode_loss, dec_state = self._fused_mode_loss(
                 params, dec_state, obs_mean, obs_std, obs_mask, vmat,
                 targets, mask, kld_mult, rec_mults, key, mode=mode,
-                sample=sample, flt_particles=fp, train=train, **kwargs)
+                sample=sample, flt_particles=fp, train=train,
+                native_mods=native_mods, **kwargs)
             loss += mult * mode_loss
         return loss, {"enc": enc_state, "dec": dec_state}
 
@@ -576,7 +609,8 @@ class MultiDMM(MultiDGTS):
                                kld_mult, rec_mults, kf, ks, f_mode,
                                s_mode, flt_particles, train_particles,
                                sample, smt_particles=1,
-                               sample_init=False, train=True):
+                               sample_init=False, train=True,
+                               native_mods=()):
         """Both objective modes' filtering passes in ONE scan.
 
         The filtering-mode pass (e.g. bfilter, K=1) and the smoothing
@@ -633,10 +667,12 @@ class MultiDMM(MultiDGTS):
         # the unmerged path, so BatchNorm statistics line up with it).
         f_loss, dec_state = self._variant_objective(
             params, dec_state, f_infer, f_prior, f_samples, vmat,
-            targets, mask, kld_mult, rec_mults, train)
+            targets, mask, kld_mult, rec_mults, train,
+            native_mods=native_mods)
         s_loss, dec_state = self._variant_objective(
             params, dec_state, s_infer, s_prior, s_samples, vmat,
-            targets, mask, kld_mult, rec_mults, train)
+            targets, mask, kld_mult, rec_mults, train,
+            native_mods=native_mods)
         return f_loss, s_loss, dec_state
 
     def set_variant_mesh(self, mesh, axes=("model", "data")):
@@ -701,7 +737,8 @@ class MultiDMM(MultiDGTS):
     def _fused_mode_loss(self, params, dec_state, obs_mean, obs_std,
                          obs_mask, vmat, targets, mask, kld_mult,
                          rec_mults, rng, mode, sample, flt_particles,
-                         smt_particles=1, sample_init=False, train=True):
+                         smt_particles=1, sample_init=False, train=True,
+                         native_mods=()):
         """One inference mode's joint + unimodal losses in a single
         forward over the stacked (V·B) variant batch."""
         n_mods, t_max, b_dim, z_dim = obs_mean.shape
@@ -730,12 +767,12 @@ class MultiDMM(MultiDGTS):
 
         loss, dec_state = self._variant_objective(
             params, dec_state, infer, prior, z_samples, vmat, targets,
-            mask, kld_mult, rec_mults, train)
+            mask, kld_mult, rec_mults, train, native_mods=native_mods)
         return loss, dec_state
 
     def _variant_objective(self, params, dec_state, infer, prior,
                            z_samples, vmat, targets, mask, kld_mult,
-                           rec_mults, train):
+                           rec_mults, train, native_mods=()):
         """Decode + KLD + weighted reconstruction over the stacked
         variant batch — equals the sum of the reference's per-forward
         losses (dgts.py:120-129 composition).
@@ -793,7 +830,14 @@ class MultiDMM(MultiDGTS):
                 continue
             x = targets[m]  # (T, B, ...)
             raw_perm = getattr(dec, "raw_perm", None)
-            if use_logits and raw_perm is not None:
+            if m in native_mods:
+                # Targets were stored native by the device loader; the
+                # logits are native too, so no layout op at all.
+                if not use_logits:
+                    raise ValueError(
+                        "native_mods modality %r has no logits decode "
+                        "path" % (m,))
+            elif use_logits and raw_perm is not None:
                 # apply_logits returns the decoder's native layout; the
                 # BCE is layout-agnostic, so transpose the (V-free)
                 # targets instead of copying the stacked activations.

@@ -29,9 +29,15 @@ import jax.numpy as jnp
 class DeviceTrainData:
     """HBM-resident training set + jitted batch construction."""
 
-    def __init__(self, dataset, modalities, batch_size, burst_frac):
+    def __init__(self, dataset, modalities, batch_size, burst_frac,
+                 native_perms=None):
         self.batch_size = batch_size
         self.burst_frac = burst_frac
+        # Modality → trailing-dim permutation: store those modalities in
+        # the codec-native layout (e.g. video (C,H,W) → (H,W,C)), paid
+        # once at upload so the train step needs zero edge transposes
+        # (model.native_input_perms; the step must get native_mods).
+        self.native_perms = dict(native_perms or {})
         n = len(dataset)
         items = [dataset[i] for i in range(n)]
         # Sort by length descending so every fixed-stride batch is
@@ -47,10 +53,21 @@ class DeviceTrainData:
         self.modalities = [m for m in modalities]
         self.data = {}
         for m in self.modalities:
-            dims = items[0][m].shape[1:]
-            arr = np.full((n, t_max) + tuple(dims), np.nan, np.float32)
+            dims = tuple(items[0][m].shape[1:])
+            perm = self.native_perms.get(m)
+            if perm is not None:
+                if len(perm) != len(dims):
+                    raise ValueError(
+                        "native perm %r does not match %s dims %r"
+                        % (perm, m, dims))
+                dims = tuple(dims[p] for p in perm)
+            arr = np.full((n, t_max) + dims, np.nan, np.float32)
             for i, it in enumerate(items):
-                arr[i, :len(it[m])] = it[m]
+                x = it[m]
+                if perm is not None:
+                    x = np.transpose(x, (0,) + tuple(1 + p
+                                                     for p in perm))
+                arr[i, :len(x)] = x
             self.data[m] = jax.device_put(arr)
         self.lengths_dev = jax.device_put(self.lengths)
         # The HBM-resident set is passed as an ARGUMENT to the jitted

@@ -90,6 +90,12 @@ def _build_parser():
                         help='use the host-side numpy batch loader for '
                              'training instead of the HBM-resident '
                              'device pipeline')
+    parser.add_argument('--edge_layout', action='store_true',
+                        default=False,
+                        help='store device-loader training batches in '
+                             'the reference edge layout (channel-first) '
+                             'instead of the codec-native layout the '
+                             'fused step consumes transpose-free')
     parser.add_argument('--normalize', type=str, default=[], nargs='+',
                         metavar='M')
     parser.add_argument('--corrupt', type=yaml.safe_load, default={},
@@ -842,15 +848,31 @@ class Trainer:
 
         train_data = train_data.split(args.split, args.bylen)
         train_loader = None
+        # native_mods is derived from the loader below, never carried
+        # over from a previous run_train with a different loader.
+        if 'native_mods' in args.train_args:
+            args.train_args = {k: v for k, v in args.train_args.items()
+                               if k != 'native_mods'}
         if not getattr(args, 'host_loader', False):
+            # Codec-native batch storage: one permutation at upload,
+            # zero per-step edge-layout copies in the fused step.
+            native = {}
+            if not getattr(args, 'edge_layout', False):
+                native = getattr(self.model, 'native_input_perms',
+                                 lambda: {})()
             try:
                 from .device_loader import DeviceTrainData
                 train_loader = DeviceTrainData(
                     train_data, self.model.modalities,
-                    args.batch_size, args.burst_frac)
+                    args.batch_size, args.burst_frac,
+                    native_perms=native)
             except Exception as e:
                 print("Device loader unavailable ({!r}); using host "
                       "loader.".format(e))
+            if train_loader is not None and native:
+                args.train_args = dict(args.train_args)
+                args.train_args['native_mods'] = tuple(
+                    m for m in self.model.modalities if m in native)
         if train_loader is None:
             train_loader = BatchLoader(train_data,
                                        batch_size=args.batch_size,
