@@ -166,6 +166,18 @@ class Trainer:
     parser = _build_parser()
 
     def __init__(self, args):
+        # argparse hands out the SAME default object on every
+        # parse_args call, so container-valued flags (the yaml dicts /
+        # nargs lists) are shared across Namespaces from one parser.
+        # Own them before any hook mutates them: the --method remap's
+        # in-place eval_args update was observed leaking
+        # flt_particles=200 into a later in-process parse, silently
+        # turning a MAP eval into a 200-particle sampled one.
+        import copy as _copy
+        for _k, _v in list(vars(args).items()):
+            if isinstance(_v, (dict, list)):
+                setattr(args, _k, _copy.deepcopy(_v))
+
         # Platform selection must precede ANY jax device use (PRNGKey,
         # device_put): the preloaded TPU backend pins the process once
         # initialized (see tests/conftest.py).
@@ -176,15 +188,22 @@ class Trainer:
                 pass
 
         # Persistent XLA compilation cache: amortizes the remote-compile
-        # cost across processes and experiment trials.
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.expanduser("~/.cache/multimodal_dmm_tpu_xla"))
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 2.0)
-        except Exception:
-            pass
+        # cost across processes and experiment trials. TPU-only: XLA:CPU
+        # AOT cache keys do NOT include the host's CPU features, so a
+        # cache written on one machine loads on another with a
+        # feature-mismatch warning and slightly different numerics
+        # (observed: device-vs-host eval exactness drifting to ~6e-4
+        # when a stale cache was hit) — and CPU compiles are cheap
+        # anyway.
+        if not str(args.device).startswith("cpu"):
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.expanduser("~/.cache/multimodal_dmm_tpu_xla"))
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 2.0)
+            except Exception:
+                pass
 
         # Seeding (trainer.py:156-159): numpy drives data corruption,
         # a jax key drives model sampling.
@@ -688,7 +707,10 @@ class Trainer:
             if args.method == 'bfvi':
                 args.model = 'dmm'
                 if 'flt_particles' not in args.eval_args:
-                    args.eval_args['flt_particles'] = 200
+                    # Rebind (never mutate): the dict may be a parser
+                    # default shared by other Namespaces.
+                    args.eval_args = dict(args.eval_args,
+                                          flt_particles=200)
             else:
                 args.model = 'dks'
                 args.model_args = {

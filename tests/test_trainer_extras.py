@@ -220,3 +220,26 @@ def test_checkpoint_v1_deconv_conversion(tmp_path):
         state, meta, z, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_parser_default_dicts_not_contaminated_across_parses(tiny_env,
+                                                             tmp_path):
+    """argparse shares default objects across parse_args calls; building
+    a --method bfvi trainer (whose remap adds flt_particles=200 to
+    eval_args) must not leak into a later parse from the same parser —
+    that leak silently turned later MAP evals into 200-particle sampled
+    ones (device-vs-host eval exactness drift)."""
+    from multimodal_dmm_tpu.apps.spirals import SpiralsTrainer
+
+    data_dir = tiny_env
+    argv = ["--data_dir", data_dir, "--save_dir", str(tmp_path),
+            "--device", "cpu", "--method", "bfvi"]
+    args1 = SpiralsTrainer.parser.parse_args(argv)
+    SpiralsTrainer(args1)
+    assert args1.eval_args.get("flt_particles") == 200
+
+    args2 = SpiralsTrainer.parser.parse_args(
+        ["--data_dir", data_dir, "--save_dir", str(tmp_path),
+         "--device", "cpu"])
+    assert "flt_particles" not in args2.eval_args
+    assert args2.model_args == {} and args2.train_args == {}
