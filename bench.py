@@ -47,8 +47,10 @@ def main():
     scan_kernel = "--scan_kernel" in sys.argv
     # Codec-native batch layout (the trainer's device-loader default):
     # video stored (T, B, H, W, C), zero edge transposes in the step.
-    # --edge opts back into channel-first batches.
-    native = "--edge" not in sys.argv
+    # --edge (or the trainer's spelling --edge_layout) opts back into
+    # channel-first batches.
+    native = ("--edge" not in sys.argv
+              and "--edge_layout" not in sys.argv)
     if "--rbg" in sys.argv:
         # Hardware-RNG particle noise (different but equally valid
         # draws); mirrors the Trainer's --rng_impl rbg.

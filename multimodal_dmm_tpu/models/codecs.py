@@ -258,18 +258,18 @@ def image_encoder_codec(z_dim, gauss_out=True, img_size=64, n_channels=3,
         init.meta = meta
         return p, s
 
+    def _meta(native_in):
+        return {"gauss_out": gauss_out, "feat_dim": feat_dim,
+                "n_layers": n_layers, "dt": compute_dtype,
+                "native_in": native_in}
+
     def apply(params, state, x, train):
-        meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
-                "n_layers": n_layers, "dt": compute_dtype}
-        return image_encoder_apply(params, state, meta, x, train)
+        return image_encoder_apply(params, state, _meta(False), x, train)
 
     def apply_native(params, state, x, train):
         """x already channels-last (N, H, W, C) — no edge transpose
         (see image_encoder_apply native_in)."""
-        meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
-                "n_layers": n_layers, "dt": compute_dtype,
-                "native_in": True}
-        return image_encoder_apply(params, state, meta, x, train)
+        return image_encoder_apply(params, state, _meta(True), x, train)
 
     codec = Codec(init, apply)
     codec.feat_dim = feat_dim
@@ -321,17 +321,17 @@ def audio_encoder_codec(z_dim, gauss_out=True, n_freqs=1281, n_frames=5,
                                      n_frames, n_kernels, n_layers)
         return p, s
 
+    def _meta(native_in):
+        return {"gauss_out": gauss_out, "feat_dim": feat_dim,
+                "n_layers": n_layers, "dt": compute_dtype,
+                "native_in": native_in}
+
     def apply(params, state, x, train):
-        meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
-                "n_layers": n_layers, "dt": compute_dtype}
-        return audio_encoder_apply(params, state, meta, x, train)
+        return audio_encoder_apply(params, state, _meta(False), x, train)
 
     def apply_native(params, state, x, train):
         """x already (N, n_freqs, 2·n_frames) — no edge transpose."""
-        meta = {"gauss_out": gauss_out, "feat_dim": feat_dim,
-                "n_layers": n_layers, "dt": compute_dtype,
-                "native_in": True}
-        return audio_encoder_apply(params, state, meta, x, train)
+        return audio_encoder_apply(params, state, _meta(True), x, train)
 
     codec = Codec(init, apply)
     codec.feat_dim = feat_dim

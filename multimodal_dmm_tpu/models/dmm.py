@@ -199,7 +199,14 @@ class MultiDMM(MultiDGTS):
         for m in self.modalities:
             enc, dec = self.enc[m], self.dec[m]
             perm = getattr(enc, "raw_perm", None)
+            # The decoder's logits layout must be THE SAME permutation
+            # of the edge dims as the encoder's native input layout —
+            # natively-stored targets are consumed against the logits
+            # elementwise, and a mismatch with coinciding permuted
+            # shapes (e.g. square images) would silently misalign the
+            # BCE rather than shape-error.
             if (self.dists[m] == "Bernoulli" and perm is not None
+                    and getattr(dec, "raw_perm", None) == tuple(perm)
                     and hasattr(enc, "apply_native")
                     and hasattr(dec, "apply_logits")):
                 out[m] = tuple(perm)

@@ -157,6 +157,16 @@ def _build_parser():
                              'cheaper per-step bit generation, different '
                              'but equally valid draws; seeds reproduce '
                              'only within one impl)')
+    parser.add_argument('--matmul_precision', type=str, default='default',
+                        choices=['default', 'bfloat16', 'bfloat16_3x',
+                                 'float32', 'highest'],
+                        help='jax default matmul precision. On TPU the '
+                             'backend DEFAULT rounds even f32 matmul '
+                             'inputs through bfloat16 passes on the MXU; '
+                             'float32/highest force full-precision '
+                             '(multi-pass) contractions — the knob that '
+                             'makes TPU training numerics match CPU/torch '
+                             '(see RESULTS §20 DKS basin statistics)')
     return parser
 
 
@@ -218,6 +228,15 @@ class Trainer:
 
         if args.anomaly_check:
             jax.config.update("jax_debug_nans", True)
+
+        if getattr(args, 'matmul_precision', 'default') != 'default':
+            # TPU's DEFAULT precision bf16-rounds f32 matmul inputs on
+            # the MXU; 'float32'/'highest' restore CPU/torch-equivalent
+            # contractions (multi-pass, ~same cost at suite-scale
+            # shapes). This is the only numeric delta between our CPU
+            # and TPU training runs (RNG is backend-identical).
+            jax.config.update("jax_default_matmul_precision",
+                              args.matmul_precision)
 
         args = self.pre_build_args(args)
 
@@ -888,6 +907,11 @@ class Trainer:
                     train_data, self.model.modalities,
                     args.batch_size, args.burst_frac,
                     native_perms=native)
+            except ValueError:
+                # A native-perm/dims mismatch is a model-vs-dataset
+                # config bug — surface it, don't silently fall back to
+                # the 10-50x slower host loader.
+                raise
             except Exception as e:
                 print("Device loader unavailable ({!r}); using host "
                       "loader.".format(e))

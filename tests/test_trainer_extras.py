@@ -243,3 +243,25 @@ def test_parser_default_dicts_not_contaminated_across_parses(tiny_env,
          "--device", "cpu"])
     assert "flt_particles" not in args2.eval_args
     assert args2.model_args == {} and args2.train_args == {}
+
+
+def test_matmul_precision_flag(tiny_env, tmp_path):
+    """--matmul_precision highest forces full-precision contractions
+    globally (the knob that makes TPU training numerics CPU/torch-
+    equivalent, RESULTS §20); default leaves the backend default. The
+    config is process-global, so suites apply it via their per-trial
+    subprocess isolation — restore it here since tests share a
+    process."""
+    import jax
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        args = make_args(tiny_env, str(tmp_path / "mp"),
+                         matmul_precision="highest")
+        trainer = SpiralsTrainer(args)
+        assert jax.config.jax_default_matmul_precision == "highest"
+        trainer.run_train(args)
+        assert os.path.exists(os.path.join(str(tmp_path / "mp"),
+                                           "last.pth"))
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
