@@ -21,7 +21,7 @@ from collections import defaultdict
 import numpy as np
 
 
-def build_step(bf16, merge):
+def build_step(bf16, merge, native=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -49,6 +49,11 @@ def build_step(bf16, merge):
     rng = np.random.RandomState(0)
     video = rng.rand(T, B, 3, 64, 64).astype(np.float32)
     video[rng.rand(T, B) < 0.1] = np.nan
+    if native:
+        # Codec-native batch layout (bench/device-loader default):
+        # video stored channels-last, zero edge transposes in the step.
+        video = np.ascontiguousarray(video.transpose(0, 1, 3, 4, 2))
+    native_mods = ("video",) if native else ()
     inputs = {
         "video": jnp.asarray(video),
         "person": jnp.asarray(
@@ -63,7 +68,7 @@ def build_step(bf16, merge):
             loss, new_state = model.step(
                 p, state, inputs, mask, jnp.float32(1.0), rec_mults,
                 key, targets=inputs, train=True,
-                merge_mode_scans=merge)
+                merge_mode_scans=merge, native_mods=native_mods)
             return loss / (T * B), (loss, new_state)
 
         grads, (loss, new_state) = jax.grad(loss_fn, has_aux=True)(
@@ -146,13 +151,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--merge", action="store_true")
+    ap.add_argument("--edge", action="store_true",
+                    help="channel-first batch layout (default: the "
+                         "bench/device-loader codec-native layout)")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default="/tmp/step_trace")
     args = ap.parse_args()
 
     import jax
 
-    step, (params, state, opt_state) = build_step(args.bf16, args.merge)
+    step, (params, state, opt_state) = build_step(args.bf16, args.merge,
+                                                  native=not args.edge)
     key = jax.random.PRNGKey(1)
     # Warm up / compile outside the trace.
     params, state, opt_state, loss = step(params, state, opt_state, key)

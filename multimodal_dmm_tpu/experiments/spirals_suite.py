@@ -111,7 +111,11 @@ def analyze(args):
         for m in metrics:
             run_results[m].append(trial_results[m])
 
-        trial_config = ea._checkpoints[i]['config']
+        trial_config = dict(ea._checkpoints[i]['config'])
+        # --config on --analyze overrides the stored trial config for
+        # the re-evaluation only (e.g. '{device: cpu}' re-runs the task
+        # battery off-TPU; the training artifacts are untouched).
+        trial_config.update(args.config)
         trial_dir = os.path.join(exp_dir,
                                  os.path.basename(trial['logdir']))
         _, _, task_metrics, task_std = evaluate(trial_config, trial_dir)
