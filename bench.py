@@ -55,6 +55,13 @@ def main():
         # Hardware-RNG particle noise (different but equally valid
         # draws); mirrors the Trainer's --rng_impl rbg.
         jax.config.update("jax_default_prng_impl", "rbg")
+    if "--precision" in sys.argv:
+        # Mirrors the Trainer's --matmul_precision: 'highest' forces
+        # CPU-equivalent multi-pass f32 contractions (quantifies the
+        # throughput cost of the DKS basin fix candidate, RESULTS §20).
+        jax.config.update(
+            "jax_default_matmul_precision",
+            sys.argv[sys.argv.index("--precision") + 1])
     unroll = "auto"  # model default: full 25-step unroll on TPU
     if "--unroll" in sys.argv:
         unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
