@@ -157,6 +157,13 @@ def _build_parser():
                              'cheaper per-step bit generation, different '
                              'but equally valid draws; seeds reproduce '
                              'only within one impl)')
+    parser.add_argument('--init_seed', type=int, default=None,
+                        metavar='S',
+                        help='override the parameter-init stream only '
+                             '(--seed keeps driving data shuffle, '
+                             'corruption, and model sampling); with '
+                             '--init_seed S the init params equal a '
+                             '--seed S run\'s exactly')
     parser.add_argument('--matmul_precision', type=str, default='default',
                         choices=['default', 'bfloat16', 'bfloat16_3x',
                                  'float32', 'highest'],
@@ -261,6 +268,14 @@ class Trainer:
         print('Constructing model...')
         self.model = self.build_model(constructor, args)
         self.rng, k_init = jax.random.split(self.rng)
+        if getattr(args, 'init_seed', None) is not None:
+            # Decouple the parameter-init stream from --seed (which
+            # keeps driving data shuffle/corruption and model
+            # sampling): lets basin-membership experiments attribute
+            # the outcome to init vs the other seed-derived streams
+            # (RESULTS §20).
+            k_init = jax.random.split(
+                jax.random.PRNGKey(args.init_seed))[1]
         self.params, self.state = self.model.init(k_init)
         n_params = sum(int(np.prod(np.shape(p))) for p in
                        jax.tree_util.tree_leaves(self.params))

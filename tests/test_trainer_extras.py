@@ -265,3 +265,27 @@ def test_matmul_precision_flag(tiny_env, tmp_path):
                                            "last.pth"))
     finally:
         jax.config.update("jax_default_matmul_precision", before)
+
+
+def test_init_seed_decouples_init_stream(tiny_env, tmp_path):
+    """--init_seed S reproduces a --seed S run's init params exactly
+    while --seed keeps driving the other streams (RESULTS §20 basin
+    attribution)."""
+    import jax
+    import numpy as np
+
+    t_ref = SpiralsTrainer(make_args(tiny_env, str(tmp_path / "a"),
+                                     seed=3))
+    t_ovr = SpiralsTrainer(make_args(tiny_env, str(tmp_path / "b"),
+                                     seed=0, init_seed=3))
+    t_base = SpiralsTrainer(make_args(tiny_env, str(tmp_path / "c"),
+                                      seed=0))
+    ref = jax.tree_util.tree_leaves(t_ref.params)
+    ovr = jax.tree_util.tree_leaves(t_ovr.params)
+    base = jax.tree_util.tree_leaves(t_base.params)
+    for a, b in zip(ref, ovr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(base, ovr))
+    # the sampling stream still follows --seed, not --init_seed
+    assert np.array_equal(np.asarray(t_ovr.rng), np.asarray(t_base.rng))
