@@ -89,10 +89,17 @@ class StopTrial(Exception):
 class Reporter:
     """Per-trial status reporter writing progress.csv rows."""
 
-    def __init__(self, logdir):
+    def __init__(self, logdir, resume=False):
         self.path = os.path.join(logdir, "progress.csv")
         self._keys = None
         self.last_result = {}
+        if resume and os.path.exists(self.path):
+            # Partial-trial resume: keep the prior attempt's rows and
+            # append (the trainer continues from its epoch checkpoint).
+            with open(self.path) as f:
+                header = f.readline().strip()
+            if header:
+                self._keys = header.split(",")
 
     def __call__(self, **kwargs):
         self.last_result = dict(kwargs)
@@ -142,7 +149,9 @@ def run(trainable, name, config, local_dir="./",
     ``last_result.json`` (done=True), reconstructing their checkpoint
     entries from disk — relaunching an interrupted sweep continues
     from the first unfinished trial instead of retraining the grid.
-    A partially-trained trial (no last_result.json) restarts fresh.
+    A partially-trained trial (progress.csv but no completed
+    last_result.json) continues from its latest epoch checkpoint
+    (bit-exact vs the uninterrupted run; see Trainer.run_train).
     """
     if isinstance(trainable, str):
         fn = _REGISTRY[trainable]
@@ -167,6 +176,7 @@ def run(trainable, name, config, local_dir="./",
                               "{}_{}".format(trainable_name, tag))
         if not os.path.exists(logdir):
             os.makedirs(logdir)
+        partial = False
         if resume:
             prior = _load_completed(logdir)
             if prior is not None:
@@ -182,17 +192,26 @@ def run(trainable, name, config, local_dir="./",
                 })
                 _write_state(exp_dir, name, checkpoints)
                 continue
+            # Interrupted mid-trial: continue from the trainer's latest
+            # epoch checkpoint instead of retraining from scratch.
+            partial = os.path.exists(os.path.join(logdir,
+                                                  "progress.csv"))
         with open(os.path.join(logdir, "params.json"), "w") as f:
             json.dump(trial_config, f, default=_json_default)
-        print("== Trial {} ({}) ==".format(trial_id, tag))
-        reporter = Reporter(logdir)
+        print("== Trial {} ({}) =={}".format(
+            trial_id, tag, " [resume: partial]" if partial else ""))
+        reporter = Reporter(logdir, resume=partial)
         status = "TERMINATED"
         if isolate is not None:
-            status, last_result = _run_trial_subprocess(isolate, logdir)
+            status, last_result = _run_trial_subprocess(
+                isolate, logdir, resume_partial=partial)
         else:
+            run_config = copy.deepcopy(trial_config)
+            if partial:
+                run_config["resume_trial"] = True
             try:
                 os.chdir(logdir)
-                fn(copy.deepcopy(trial_config), reporter)
+                fn(run_config, reporter)
             except StopTrial:
                 pass  # trial self-terminated (done=True / NaN loss)
             except Exception as e:  # failure should not kill the sweep
@@ -232,15 +251,22 @@ def _load_completed(logdir):
     return last if last.get("done") else None
 
 
-def _run_trial_subprocess(spec, logdir):
+def _run_trial_subprocess(spec, logdir, resume_partial=False):
     """Execute one trial in a fresh interpreter; the worker reads
     ``params.json`` (already written), runs ``TrainerClass.tune``, and
-    leaves ``last_result.json`` behind."""
+    leaves ``last_result.json`` behind. ``resume_partial`` continues an
+    interrupted trial from its latest epoch checkpoint (the env var is
+    read by Trainer.run_train and the worker's Reporter)."""
     import subprocess
     import sys
     cmd = [sys.executable, "-m", "multimodal_dmm_tpu.experiments.tune",
            "--worker", spec, "--logdir", logdir]
-    proc = subprocess.run(cmd)
+    env = dict(os.environ)
+    if resume_partial:
+        env["MDMM_RESUME_TRIAL"] = "1"
+    else:
+        env.pop("MDMM_RESUME_TRIAL", None)
+    proc = subprocess.run(cmd, env=env)
     lr_path = os.path.join(logdir, "last_result.json")
     last_result = {}
     if os.path.exists(lr_path):
@@ -263,7 +289,8 @@ def _worker_main(spec, logdir):
     cls = getattr(importlib.import_module(mod_name), cls_name)
     with open(os.path.join(logdir, "params.json")) as f:
         config = json.load(f)
-    reporter = Reporter(logdir)
+    reporter = Reporter(
+        logdir, resume=os.environ.get("MDMM_RESUME_TRIAL") == "1")
     status = 0
     os.chdir(logdir)
     try:

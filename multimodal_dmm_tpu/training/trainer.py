@@ -121,6 +121,17 @@ def _build_parser():
     parser.add_argument('--eval_freq', type=int, default=10, metavar='N')
     parser.add_argument('--save_freq', type=int, default=10, metavar='N')
     parser.add_argument('--load', type=str, default=None, metavar='PATH')
+    parser.add_argument('--resume_trial', action='store_true',
+                        default=False,
+                        help='continue an interrupted training run from '
+                             'the latest epoch_N.pth in save_dir '
+                             '(params, optimizer state, best loss, and '
+                             'the sampling RNG stream are all restored, '
+                             'so the resumed run reproduces the '
+                             'uninterrupted one bit-for-bit); no-op '
+                             'when no epoch checkpoint exists. Also '
+                             'enabled by MDMM_RESUME_TRIAL=1 (used by '
+                             'the experiment runner for partial trials)')
     parser.add_argument('--data_dir', type=str, metavar='DIR')
     parser.add_argument('--save_dir', type=str, metavar='DIR')
     parser.add_argument('--visualize', action='store_true', default=False)
@@ -789,9 +800,10 @@ class Trainer:
         df.to_csv(fname, mode='a', header=(not os.path.exists(fname)),
                   sep='\t')
 
-    def _restore(self, checkpoint):
+    def _restore(self, checkpoint, opt=False):
         """Load checkpoint params/state onto the right devices
-        (replicated over the mesh when one is active)."""
+        (replicated over the mesh when one is active). ``opt=True``
+        additionally restores the optimizer state (resume path)."""
         def place(t):
             t = jax.tree_util.tree_map(jnp.asarray, t)
             if self.mesh is not None:
@@ -801,20 +813,45 @@ class Trainer:
         self.params = place(checkpoint["params"])
         if "state" in checkpoint:
             self.state = place(checkpoint["state"])
+        if opt and "opt_state" in checkpoint:
+            self.opt_state = place(checkpoint["opt_state"])
 
-    def save_checkpoint(self, modalities, path):
+    def save_checkpoint(self, modalities, path, extra=None):
         save_checkpoint(path, modalities, self.params, self.state,
-                        self.opt_state)
+                        self.opt_state, extra=extra)
 
-    def _write_snapshot(self, snapshot, args, name):
+    def _write_snapshot(self, snapshot, args, name, extra=None):
         """Serialize a deferred (params, state, opt_state) device
         snapshot (see run_train's best-checkpoint handling)."""
         params, state, opt_state = snapshot
         save_checkpoint(os.path.join(args.save_dir, name),
-                        args.modalities, params, state, opt_state)
+                        args.modalities, params, state, opt_state,
+                        extra=extra)
 
     def load_checkpoint(self, path, device=None):
         return load_checkpoint(path)
+
+    @staticmethod
+    def _latest_epoch_checkpoint(save_dir):
+        """Newest loadable ``epoch_N.pth`` in ``save_dir`` as
+        ``(N, payload)``; ``(None, None)`` when none exists. A partially
+        written newest file (the run was killed mid-pickle) falls back
+        to the next-newest."""
+        import re
+        epochs = []
+        for fname in os.listdir(save_dir) if os.path.isdir(save_dir) \
+                else []:
+            m = re.fullmatch(r"epoch_(\d+)\.pth", fname)
+            if m:
+                epochs.append(int(m.group(1)))
+        for n in sorted(epochs, reverse=True):
+            path = os.path.join(save_dir, "epoch_{}.pth".format(n))
+            try:
+                return n, load_checkpoint(path)
+            except Exception as e:
+                print("Skipping unreadable checkpoint {} ({!r})"
+                      .format(path, e))
+        return None, None
 
     # ------------------------------------------------------------------
     # drivers (trainer.py:405-579)
@@ -947,6 +984,28 @@ class Trainer:
         loss = float('nan')
         metrics = {}
         args.eval_set = None
+        start_epoch = 1
+        # Intra-trial resume (--resume_trial / MDMM_RESUME_TRIAL=1):
+        # continue from the latest epoch_N.pth. The shuffle order is a
+        # pure function of (seed, epoch), the KLD anneal of the epoch
+        # number, and the sampling stream is restored from the
+        # checkpoint, so the resumed run is bit-identical to the
+        # uninterrupted one (tests/test_resume_trial.py). Checkpoints
+        # written before this feature lack the rng/best_loss extras;
+        # they resume with a reset sampling stream and a re-learned
+        # best (best.pth can regress by < save_freq epochs then).
+        if (getattr(args, 'resume_trial', False)
+                or os.environ.get('MDMM_RESUME_TRIAL') == '1'):
+            latest, ck = self._latest_epoch_checkpoint(args.save_dir)
+            if ck is not None:
+                self._restore(ck, opt=True)
+                start_epoch = int(ck.get("epoch", latest)) + 1
+                if "best_loss" in ck:
+                    best_loss = float(ck["best_loss"])
+                if "rng" in ck:
+                    self.rng = jnp.asarray(ck["rng"])
+                print('--- Resuming from epoch {} checkpoint '
+                      '(best_loss {:0.4g}) ---'.format(latest, best_loss))
         from .diagnostics import profile_ctx
         profile_epochs = {2} if getattr(args, 'profile_dir', None) \
             else set()
@@ -966,7 +1025,7 @@ class Trainer:
         except ValueError:
             pass  # not the main thread
         try:
-          for epoch in range(1, args.epochs + 1):
+          for epoch in range(start_epoch, args.epochs + 1):
             print('---')
             if epoch in profile_epochs:
                 with profile_ctx(args.profile_dir):
@@ -995,20 +1054,26 @@ class Trainer:
                              done=bool(np.isnan(loss)), **metrics)
             if epoch % args.save_freq == 0:
                 if best_snapshot is not None:
-                    self._write_snapshot(best_snapshot, args,
-                                         "best.pth")
+                    self._write_snapshot(best_snapshot, args, "best.pth",
+                                         extra={"best_loss":
+                                                float(best_loss)})
                     best_snapshot = None
                 self.save_checkpoint(
                     args.modalities,
                     os.path.join(args.save_dir,
-                                 "epoch_{}.pth".format(epoch)))
+                                 "epoch_{}.pth".format(epoch)),
+                    extra={"epoch": epoch,
+                           "best_loss": float(best_loss),
+                           "rng": np.asarray(self.rng)})
         finally:
             # StopTrial (reporter done=True, e.g. NaN loss) and SIGTERM
             # must still leave the best pre-termination checkpoint on
             # disk - the suites' analysis depends on it (reference
             # trial semantics).
             if best_snapshot is not None:
-                self._write_snapshot(best_snapshot, args, "best.pth")
+                self._write_snapshot(best_snapshot, args, "best.pth",
+                                     extra={"best_loss":
+                                            float(best_loss)})
             if prev_term is not None:
                 try:
                     signal.signal(signal.SIGTERM, prev_term)
