@@ -200,7 +200,11 @@ class SpiralsTrainer(trainer.Trainer):
         pass
 
 
+def main(argv=None):
+    """Console entry point (pyproject: mdmm-spirals)."""
+    args = SpiralsTrainer.parser.parse_args(argv)
+    SpiralsTrainer(args).run(args)
+
+
 if __name__ == "__main__":
-    args = SpiralsTrainer.parser.parse_args()
-    trainer_ = SpiralsTrainer(args)
-    trainer_.run(args)
+    main()

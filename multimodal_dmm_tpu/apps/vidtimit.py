@@ -343,7 +343,11 @@ class VidTIMITTrainer(trainer.Trainer):
             scipy.io.wavfile.write(path + '.wav', audio_rate, wav_all)
 
 
+def main(argv=None):
+    """Console entry point (pyproject: mdmm-vidtimit)."""
+    args = VidTIMITTrainer.parser.parse_args(argv)
+    VidTIMITTrainer(args).run(args)
+
+
 if __name__ == "__main__":
-    args = VidTIMITTrainer.parser.parse_args()
-    trainer_ = VidTIMITTrainer(args)
-    trainer_.run(args)
+    main()

@@ -403,7 +403,11 @@ class WeizmannTrainer(trainer.Trainer):
             vwriter.release()
 
 
+def main(argv=None):
+    """Console entry point (pyproject: mdmm-weizmann)."""
+    args = WeizmannTrainer.parser.parse_args(argv)
+    WeizmannTrainer(args).run(args)
+
+
 if __name__ == "__main__":
-    args = WeizmannTrainer.parser.parse_args()
-    trainer_ = WeizmannTrainer(args)
-    trainer_.run(args)
+    main()
