@@ -36,6 +36,30 @@ def main():
                                                   image_decoder_codec)
 
     T, B, Z = 25, 25, 256
+    # The TPU backend here is a remote-dispatch tunnel that can be
+    # transiently down — and a dead tunnel WEDGES dispatches rather
+    # than raising, so probe from a subprocess with its own timeout
+    # and wait (bounded) for recovery before committing to the run.
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "jax.block_until_ready(jnp.ones((8,8)) @ jnp.ones((8,8))); "
+             "print('PROBE_OK')")
+    deadline = time.time() + float(os.environ.get("MDMM_BENCH_WAIT_S",
+                                                  "600"))
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=120)
+            if b"PROBE_OK" in r.stdout:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            log("device probe never succeeded; proceeding anyway")
+            break
+        log("device probe failed; retrying for {:.0f}s more"
+            .format(deadline - time.time()))
+        time.sleep(30)
     log("bench device:", jax.devices()[0])
     # bf16 conv codecs (f32 masters + accumulation) are the production
     # configuration: measured faster on device time (29.8 vs 31.8
