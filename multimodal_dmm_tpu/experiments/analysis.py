@@ -130,3 +130,47 @@ class ExperimentAnalysis:
             return None
         idx = df[key].idxmax() if mode == "max" else df[key].idxmin()
         return df.iloc[idx].logdir
+
+
+def merge_experiment_states(src_dirs, out_dir):
+    """Concatenate the checkpoints of several experiment dirs into one.
+
+    Writes ``out_dir/experiment_state-merged.json`` whose checkpoints
+    are the union of the sources' (logdirs are absolute, so the trial
+    progress stays readable in place). Lets a widened sweep (e.g. the
+    spirals_partial 10-level curve run as two grids in different
+    rounds) be analyzed as one experiment, matching the reference's
+    single-sweep layout (/root/reference/experiments/spirals_partial.py:108).
+    Trial ids are prefixed with the source experiment name to stay
+    unique across sources.
+    """
+    merged = []
+    for d in src_dirs:
+        paths = glob.glob(os.path.join(d, "experiment_state*.json"))
+        if not paths:
+            raise TuneError("No experiment state found in {}!".format(d))
+        with open(max(paths)) as f:
+            state = json.load(f)
+        tag = os.path.basename(os.path.normpath(d))
+        for ck in state["checkpoints"]:
+            ck = copy.deepcopy(ck)
+            ck["trial_id"] = "{}:{}".format(tag, ck["trial_id"])
+            merged.append(ck)
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "experiment_state-merged.json")
+    with open(out_path, "w") as f:
+        json.dump({"checkpoints": merged}, f)
+    return out_path
+
+
+if __name__ == "__main__":
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="merge experiment states for joint analysis")
+    parser.add_argument("--merge", nargs="+", metavar="DIR",
+                        help="source experiment directories")
+    parser.add_argument("--out", type=str, metavar="DIR",
+                        help="destination experiment directory")
+    args = parser.parse_args()
+    if args.merge:
+        print(merge_experiment_states(args.merge, args.out))

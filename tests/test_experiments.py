@@ -298,3 +298,36 @@ def test_vidtimit_suite_micro(tmp_path):
     assert len(task_df) == 1
     assert np.isfinite(task_df[["recon", "half", "fwd", "bwd", "a2v",
                                 "v2a"]].values).all()
+
+
+def test_merge_experiment_states(tmp_path):
+    """Two sweeps merged into one analyzable experiment dir (the
+    widened spirals_partial curve is run as two grids across rounds)."""
+    from multimodal_dmm_tpu.experiments.analysis import (
+        merge_experiment_states)
+
+    def trainable(config, reporter):
+        for it in range(2):
+            reporter(mean_loss=float(config["x"]) - it,
+                     training_iteration=it + 1, done=(it == 1),
+                     mse=0.5)
+
+    tune.run(trainable, name="exp_a",
+             config={"x": tune.grid_search([0, 1])},
+             local_dir=str(tmp_path))
+    tune.run(trainable, name="exp_b",
+             config={"x": tune.grid_search([2])},
+             local_dir=str(tmp_path))
+
+    out = merge_experiment_states(
+        [str(tmp_path / "exp_a"), str(tmp_path / "exp_b")],
+        str(tmp_path / "merged"))
+    assert os.path.exists(out)
+    ea = ExperimentAnalysis(str(tmp_path / "merged"))
+    df = ea.dataframe()
+    assert len(df) == 3
+    assert sorted(df["x"]) == [0, 1, 2]
+    # trial ids stay unique and progress stays readable in place
+    assert df["trial_id"].is_unique
+    for tid in df["trial_id"]:
+        assert len(ea.trial_dataframe(tid)) == 2
