@@ -66,11 +66,12 @@ def run_grid(args, trainer_cls, trainable_name, base_config,
                             lambda c, r: trainer_cls.tune(c, r))
     isolate = None if args.no_isolate else "{}:{}".format(
         trainer_cls.__module__, trainer_cls.__name__)
-    tune.run(trainable_name, name=args.exp_name, config=config,
-             local_dir=args.local_dir,
-             resources_per_trial={"cpu": args.trial_cpus,
-                                  "gpu": args.trial_gpus},
-             isolate=isolate, resume=args.resume)
+    ckpts = tune.run(trainable_name, name=args.exp_name, config=config,
+                     local_dir=args.local_dir,
+                     resources_per_trial={"cpu": args.trial_cpus,
+                                          "gpu": args.trial_gpus},
+                     isolate=isolate, resume=args.resume)
+    tune.exit_on_errors(ckpts, args.exp_name)
 
 
 def analyze_best3(args, corrupt_key, metric_cols):

@@ -72,13 +72,14 @@ def run(args):
     config.update(args.config)
     tune.register_trainable(
         "vidtimit_tune", lambda c, r: VidTIMITTrainer.tune(c, r))
-    tune.run("vidtimit_tune", name=args.exp_name, config=config,
-             local_dir=args.local_dir,
-             resources_per_trial={"cpu": args.trial_cpus,
-                                  "gpu": args.trial_gpus},
-             resume=args.resume,
-             isolate=None if args.no_isolate else
-             "multimodal_dmm_tpu.apps.vidtimit:VidTIMITTrainer")
+    ckpts = tune.run("vidtimit_tune", name=args.exp_name, config=config,
+                     local_dir=args.local_dir,
+                     resources_per_trial={"cpu": args.trial_cpus,
+                                          "gpu": args.trial_gpus},
+                     resume=args.resume,
+                     isolate=None if args.no_isolate else
+                     "multimodal_dmm_tpu.apps.vidtimit:VidTIMITTrainer")
+    tune.exit_on_errors(ckpts, args.exp_name)
 
 
 def analyze(args):

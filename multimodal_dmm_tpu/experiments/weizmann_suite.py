@@ -71,13 +71,14 @@ def run(args):
     config.update(args.config)
     tune.register_trainable(
         "weizmann_tune", lambda c, r: WeizmannTrainer.tune(c, r))
-    tune.run("weizmann_tune", name=args.exp_name, config=config,
-             local_dir=args.local_dir,
-             resources_per_trial={"cpu": args.trial_cpus,
-                                  "gpu": args.trial_gpus},
-             resume=args.resume,
-             isolate=None if args.no_isolate else
-             "multimodal_dmm_tpu.apps.weizmann:WeizmannTrainer")
+    ckpts = tune.run("weizmann_tune", name=args.exp_name, config=config,
+                     local_dir=args.local_dir,
+                     resources_per_trial={"cpu": args.trial_cpus,
+                                          "gpu": args.trial_gpus},
+                     resume=args.resume,
+                     isolate=None if args.no_isolate else
+                     "multimodal_dmm_tpu.apps.weizmann:WeizmannTrainer")
+    tune.exit_on_errors(ckpts, args.exp_name)
 
 
 def analyze(args):

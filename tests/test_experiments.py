@@ -62,6 +62,13 @@ def test_trial_error_does_not_kill_sweep(tmp_path):
         local_dir=str(tmp_path))
     statuses = [c["status"] for c in checkpoints]
     assert statuses == ["TERMINATED", "ERROR", "TERMINATED"]
+    # ... but the failure must be visible at the process edge: pipelines
+    # gate phase-done stamps on the sweep exit code (VERDICT r4 weak #2).
+    with pytest.raises(SystemExit) as exc:
+        tune.exit_on_errors(checkpoints, "err_exp")
+    assert exc.value.code == 1
+    clean = [c for c in checkpoints if c["status"] == "TERMINATED"]
+    tune.exit_on_errors(clean, "err_exp")  # no error → no exit
 
 
 @pytest.mark.slow
