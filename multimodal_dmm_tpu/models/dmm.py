@@ -380,6 +380,103 @@ class MultiDMM(MultiDGTS):
             samples = samples[::-1]
         return (i_mean, i_std), (p_mean, p_std), samples
 
+    def z_filter_grouped(self, params, z_mean, z_std, z_masks, eps,
+                         k_groups, direction="fwd"):
+        """Several logical filtering passes over the SAME experts in ONE
+        scan, with per-group particle counts (ragged K).
+
+        The training objective runs two data-independent filtering
+        passes in the same direction over identical expert tensors — the
+        f-mode pass (K=flt_particles, usually 1) and the s-mode's
+        filter pass (K=train_particles, usually 25). Two separate scans
+        serialize two latency-bound while-loops; the earlier
+        merge_mode_scans attempt (RESULTS §8) instead concatenated the
+        batch and BROADCAST the K=1 group to K=25 — 25× its compute —
+        and measured slower. This path shares one scan with a ragged
+        particle axis: the GTF transition runs on all ΣK particles as
+        one matmul batch, while the particle-mean (mean_of_experts) and
+        PoE+sampling steps are segmented per group by STATIC slices, so
+        each group computes exactly its own math.
+
+        Bit-exactness vs per-group ``z_filter`` calls: matmuls are
+        row-independent, each group's particle-mean reduces the same
+        values in the same order, and the per-group PoE concatenates
+        [prior_g; experts] exactly as the single-group cell does.
+        Guarded by tests/test_fused_step.py.
+
+        z_mean/z_std: (M', T, B, D); z_masks: (M', T, B); eps:
+        (T, ΣK, B, D) in SCAN time order; k_groups: static tuple of
+        per-group particle counts summing to ΣK. Returns
+        (infer, prior, samples) with a leading group axis:
+        ((G,T,B,D), (G,T,B,D)), ..., (G,T,B,D) in original time order.
+        """
+        n_exp, t_max, b_dim, z_dim = z_mean.shape
+        k_groups = tuple(int(k) for k in k_groups)
+        k_tot = sum(k_groups)
+        assert eps.shape[1] == k_tot
+        bounds = np.cumsum((0,) + k_groups)
+        glb_mean, glb_std = self.prior_params(params, (b_dim, self.z_dim))
+
+        xs_mean = jnp.moveaxis(z_mean, 1, 0)   # (T, M', B, D)
+        xs_std = jnp.moveaxis(z_std, 1, 0)
+        xs_mask = jnp.moveaxis(z_masks, 1, 0)  # (T, M', B)
+        if direction == "bwd":
+            xs_mean = xs_mean[::-1]
+            xs_std = xs_std[::-1]
+            xs_mask = xs_mask[::-1]
+        is_first = (jnp.arange(t_max) == 0)
+        trans = self._packed_trans(params, direction)
+
+        def cell(z_prev, xs):
+            om, os, omask, first, eps_t = xs
+            # One GTF matmul over all groups' particles, then the
+            # pair-PoE with the global prior — identical math to
+            # _z_next minus its particle-mean, which must be segmented.
+            q_mean, q_std = tnn.gtf_apply_packed(trans, z_prev,
+                                                 self.min_std)
+            pp_mean, pp_std = product_of_experts_pair(
+                glb_mean, glb_std, q_mean, q_std)
+            pm = jnp.stack([
+                jnp.stack(mean_of_experts(pp_mean[s:e], pp_std[s:e]))
+                for s, e in zip(bounds[:-1], bounds[1:])])  # (G, 2, B, D)
+            prior_mean_t = jnp.where(first, glb_mean, pm[:, 0])
+            prior_std_t = jnp.where(first, glb_std, pm[:, 1])
+
+            def poe_with_prior(p_mean_g, p_std_g):
+                all_mean = jnp.concatenate([p_mean_g[None], om], axis=0)
+                all_std = jnp.concatenate([p_std_g[None], os], axis=0)
+                all_mask = jnp.concatenate(
+                    [jnp.ones((1, b_dim), bool), omask.astype(bool)],
+                    axis=0)
+                return product_of_experts(all_mean, all_std, all_mask)
+
+            infer_mean_t, infer_std_t = jax.vmap(poe_with_prior)(
+                prior_mean_t, prior_std_t)  # (G, B, D)
+            z_t = jnp.concatenate([
+                infer_mean_t[g][None] + infer_std_t[g][None]
+                * eps_t[s:e]
+                for g, (s, e) in enumerate(zip(bounds[:-1], bounds[1:]))
+            ], axis=0)  # (ΣK, B, D)
+            sample_out = jnp.stack([
+                jnp.mean(z_t[s:e], axis=0)
+                for s, e in zip(bounds[:-1], bounds[1:])])  # (G, B, D)
+            return z_t, (prior_mean_t, prior_std_t,
+                         infer_mean_t, infer_std_t, sample_out)
+
+        z0 = jnp.zeros((k_tot, b_dim, self.z_dim))
+        _, (p_mean, p_std, i_mean, i_std, samples) = jax.lax.scan(
+            cell, z0, (xs_mean, xs_std, xs_mask, is_first, eps),
+            unroll=self._resolved_unroll())
+
+        if direction == "bwd":
+            p_mean, p_std = p_mean[::-1], p_std[::-1]
+            i_mean, i_std = i_mean[::-1], i_std[::-1]
+            samples = samples[::-1]
+        # (T, G, ...) → (G, T, ...)
+        swap = lambda x: jnp.moveaxis(x, 1, 0)  # noqa: E731
+        return ((swap(i_mean), swap(i_std)),
+                (swap(p_mean), swap(p_std)), swap(samples))
+
     def z_sample(self, params, t_max, b_dim, rng, direction="fwd",
                  sample=True, n_particles=1, z_init=None, inclusive=False):
         """Ancestral rollout of the latent chain (dmm.py:260-317)."""
@@ -521,6 +618,11 @@ class MultiDMM(MultiDGTS):
         # 51 vs 31 ms device time), so it stays opt-in via
         # --train_args '{merge_mode_scans: true}' / bench --merge.
         merge_mode_scans = kwargs.pop("merge_mode_scans", False)
+        # Share ONE ragged-K scan between the two modes' filtering
+        # passes (see _fused_two_mode_ragged / z_filter_grouped) —
+        # strictly less work than the two scans it replaces, unlike
+        # merge_mode_scans' broadcast padding.
+        ragged_mode_scans = kwargs.pop("ragged_mode_scans", False)
         # Modalities whose inputs AND targets arrive in the codec-native
         # trailing-dim layout (device loader stores them permuted once;
         # the step then runs with zero edge-layout copies). Static.
@@ -583,6 +685,21 @@ class MultiDMM(MultiDGTS):
         dec_state = state["dec"]
         fdir = "fwd" if f_mode in ("ffilter", "bsmooth") else "bwd"
         sdir = "fwd" if s_mode in ("ffilter", "bsmooth") else "bwd"
+        can_ragged = (ragged_mode_scans
+                      and f_mode in ("ffilter", "bfilter")
+                      and s_mode in ("fsmooth", "bsmooth")
+                      and fdir == sdir
+                      and not kwargs.get("sample_init", False))
+        if can_ragged:
+            f_loss, s_loss, dec_state = self._fused_two_mode_ragged(
+                params, dec_state, obs_mean, obs_std, obs_mask, vmat,
+                targets, mask, kld_mult, rec_mults, k3, k4,
+                f_mode=f_mode, s_mode=s_mode,
+                flt_particles=flt_particles,
+                train_particles=train_particles, sample=sample,
+                train=train, native_mods=native_mods, **kwargs)
+            loss += f_mult * f_loss + s_mult * s_loss
+            return loss, {"enc": enc_state, "dec": dec_state}
         can_merge = (merge_mode_scans
                      and f_mode in ("ffilter", "bfilter")
                      and s_mode in ("fsmooth", "bsmooth")
@@ -660,6 +777,67 @@ class MultiDMM(MultiDGTS):
         f_prior = (prior[0][:, :vb], prior[1][:, :vb])
         f_samples = z_samples[:, :vb]
         s_prior = (prior[0][:, vb:], prior[1][:, vb:])
+
+        # Smoothing pass for the s mode over its filter priors.
+        s_direction = "fwd" if s_mode == "fsmooth" else "bwd"
+        szm, szs, som = self._smooth_experts(params, zm, zs, om,
+                                             s_prior)
+        s_infer, s_prior, s_samples = self.z_filter(
+            params, szm, szs, som, ks_smt, direction=s_direction,
+            sample=sample, n_particles=smt_particles,
+            sample_init=sample_init)
+
+        # Per-mode objectives decode separately (same call structure as
+        # the unmerged path, so BatchNorm statistics line up with it).
+        f_loss, dec_state = self._variant_objective(
+            params, dec_state, f_infer, f_prior, f_samples, vmat,
+            targets, mask, kld_mult, rec_mults, train,
+            native_mods=native_mods)
+        s_loss, dec_state = self._variant_objective(
+            params, dec_state, s_infer, s_prior, s_samples, vmat,
+            targets, mask, kld_mult, rec_mults, train,
+            native_mods=native_mods)
+        return f_loss, s_loss, dec_state
+
+    def _fused_two_mode_ragged(self, params, dec_state, obs_mean,
+                               obs_std, obs_mask, vmat, targets, mask,
+                               kld_mult, rec_mults, kf, ks, f_mode,
+                               s_mode, flt_particles, train_particles,
+                               sample, smt_particles=1,
+                               sample_init=False, train=True,
+                               native_mods=()):
+        """Both objective modes' filtering passes in ONE ragged-K scan
+        (see z_filter_grouped). Unlike _fused_two_mode_losses, the
+        K=flt_particles group keeps its own particle count — no
+        broadcast padding, no batch duplication — so the shared scan
+        does strictly less work than the two scans it replaces.
+        Key derivation and all downstream calls mirror the unmerged
+        _fused_mode_loss composition exactly (loss/grad-exact,
+        tests/test_fused_step.py)."""
+        n_mods, t_max, b_dim, z_dim = obs_mean.shape
+        v_dim = vmat.shape[0]
+        vb = v_dim * b_dim
+        zm, zs, om = self._variant_experts(obs_mean, obs_std, obs_mask,
+                                           vmat)
+        zm, zs, om = self._constrain_vb(zm, zs, om, vb_axis=2)
+
+        # Same key derivation as two _fused_mode_loss calls.
+        kf_flt, _ = jax.random.split(kf)
+        ks_flt, ks_smt = jax.random.split(ks)
+        direction = "fwd" if f_mode in ("ffilter", "bsmooth") else "bwd"
+        eps_f = self._filter_eps(kf_flt, t_max, flt_particles, vb,
+                                 sample or flt_particles > 1, False)
+        eps_s = self._filter_eps(ks_flt, t_max, train_particles, vb,
+                                 sample or train_particles > 1, False)
+        eps = jnp.concatenate([eps_f, eps_s], axis=1)
+        infer, prior, z_samples = self.z_filter_grouped(
+            params, zm, zs, om, eps,
+            k_groups=(eps_f.shape[1], eps_s.shape[1]),
+            direction=direction)
+        f_infer = (infer[0][0], infer[1][0])
+        f_prior = (prior[0][0], prior[1][0])
+        f_samples = z_samples[0]
+        s_prior = (prior[0][1], prior[1][1])
 
         # Smoothing pass for the s mode over its filter priors.
         s_direction = "fwd" if s_mode == "fsmooth" else "bwd"

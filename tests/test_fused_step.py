@@ -156,3 +156,34 @@ def test_merged_two_mode_scan_matches_unmerged(setup, sample):
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("sample,flt_particles",
+                         [(True, 1), (False, 1), (True, 3)])
+def test_ragged_two_mode_scan_matches_unmerged(setup, sample,
+                                               flt_particles):
+    """ragged_mode_scans=True (both modes' filtering passes in one
+    ragged-K scan, z_filter_grouped) must reproduce the unmerged fused
+    objective — same RNG stream — in loss AND gradients, including at
+    flt_particles not equal to 1 or train_particles (which the older
+    merge_mode_scans path cannot represent)."""
+    model, params, state, inputs, mask = setup
+    rec_mults = {"m0": 0.5, "m1": 0.2, "m2": 1.0}
+    common = dict(targets=inputs, uni_loss=True, sample=sample,
+                  match_mult=0.01, train_particles=7,
+                  flt_particles=flt_particles)
+
+    def loss_of(p, ragged):
+        loss, _ = model.step(p, state, inputs, mask, 0.7, rec_mults,
+                             jax.random.PRNGKey(9), fused=True,
+                             ragged_mode_scans=ragged, **common)
+        return loss
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_of(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_of(p, True))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
