@@ -67,6 +67,9 @@ def main():
     # opts out.
     bf16 = "--f32" not in sys.argv
     merge = "--merge" in sys.argv
+    # Ragged two-mode scan (models/dmm.py z_filter_grouped): both
+    # objective filtering passes share one scan without K-padding.
+    ragged = "--ragged" in sys.argv
     bf16_gtf = "--bf16_gtf" in sys.argv
     scan_kernel = "--scan_kernel" in sys.argv
     # Codec-native batch layout (the trainer's device-loader default):
@@ -91,7 +94,8 @@ def main():
         unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
     dt = jnp.bfloat16 if bf16 else None
     log("codec compute dtype:", "bf16" if bf16 else "f32",
-        "| merge_mode_scans:", merge, "| unroll:", unroll,
+        "| merge_mode_scans:", merge, "| ragged:", ragged,
+        "| unroll:", unroll,
         "| bf16_gtf:", bf16_gtf, "| scan_kernel:", scan_kernel,
         "| rbg:", "--rbg" in sys.argv,
         "| layout:", "native" if native else "edge")
@@ -132,7 +136,7 @@ def main():
             loss, new_state = model.step(
                 p, state, inputs, mask, kld_mult, rec_mults, key,
                 targets=inputs, train=True, merge_mode_scans=merge,
-                native_mods=native_mods)
+                ragged_mode_scans=ragged, native_mods=native_mods)
             return loss / (T * B), (loss, new_state)
 
         grads, (loss, new_state) = jax.grad(loss_fn, has_aux=True)(params)
