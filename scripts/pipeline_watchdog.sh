@@ -27,7 +27,7 @@ paused_pgids() {  # pgids the pipeline paused on purpose
 
 while :; do
     alive=0
-    for f in /tmp/tpu_pipe.pid /tmp/tpu_perf.pid; do
+    for f in /tmp/tpu_pipe.pid /tmp/tpu_perf.pid /tmp/tpu_add.pid; do
         [ -f "$f" ] || continue
         root=$(cat "$f")
         kill -0 "$root" 2>/dev/null || continue
