@@ -69,7 +69,11 @@ def main():
     merge = "--merge" in sys.argv
     # Ragged two-mode scan (models/dmm.py z_filter_grouped): both
     # objective filtering passes share one scan without K-padding.
-    ragged = "--ragged" in sys.argv
+    # Default since round 5 (benched +2.3% over the two-scan step,
+    # 1546 vs 1512 seqs/sec, results/tail_r5b/bench_ragged.log;
+    # loss/grad-exact vs the unfused composition,
+    # tests/test_fused_step.py); --no_ragged opts out.
+    ragged = "--no_ragged" not in sys.argv
     bf16_gtf = "--bf16_gtf" in sys.argv
     scan_kernel = "--scan_kernel" in sys.argv
     # Codec-native batch layout (the trainer's device-loader default):
